@@ -1,0 +1,192 @@
+"""Flax EfficientNet-B0..B7 backbone (features only), TPU-first.
+
+Reproduces the architecture behind the reference's
+``EfficientNet.from_name('efficientnet-b{b}', in_channels=1)`` /
+``extract_features`` calls (reference: src/models/Models.py:69-72, 109):
+stem 3x3/s2 -> 7 MBConv stages (expand 1x1, depthwise k3/k5, squeeze-excite
+ratio 0.25, project 1x1, BN+swish, stochastic depth up to 0.2) -> head 1x1
+conv. Compound scaling per variant; B2 yields the 1408-channel feature map
+the PSLA paper uses (Models.py:66 `middim`).
+
+Differences from the reference implementation, by design:
+  * NHWC layout and jax 'SAME' padding (identical math to torch
+    Conv2dStaticSamePadding, but native to TPU/XLA — no explicit pad op).
+  * BatchNorm statistics always tracked in float32; activations may be
+    bfloat16 (``dtype``) for MXU throughput.
+  * Stochastic-depth RNG comes from the flax 'dropout' rng collection, so
+    the whole forward is a pure function of (params, batch_stats, rng).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from psla_tpu.models.layers import (
+    ConvBN,
+    conv_kernel_init,
+    drop_connect,
+    round_filters,
+    round_repeats,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockArgs:
+    kernel: int
+    stride: int
+    expand_ratio: int
+    in_filters: int
+    out_filters: int
+    num_repeat: int
+    se_ratio: float = 0.25
+
+
+# The EfficientNet-B0 base architecture (7 stages).
+BASE_BLOCKS: tuple[BlockArgs, ...] = (
+    BlockArgs(3, 1, 1, 32, 16, 1),
+    BlockArgs(3, 2, 6, 16, 24, 2),
+    BlockArgs(5, 2, 6, 24, 40, 2),
+    BlockArgs(3, 2, 6, 40, 80, 3),
+    BlockArgs(5, 1, 6, 80, 112, 3),
+    BlockArgs(5, 2, 6, 112, 192, 4),
+    BlockArgs(3, 1, 6, 192, 320, 1),
+)
+
+# b -> (width_coefficient, depth_coefficient)
+SCALING: dict[int, tuple[float, float]] = {
+    0: (1.0, 1.0),
+    1: (1.0, 1.1),
+    2: (1.1, 1.2),
+    3: (1.2, 1.4),
+    4: (1.4, 1.8),
+    5: (1.6, 2.2),
+    6: (1.8, 2.6),
+    7: (2.0, 3.1),
+}
+
+STEM_FILTERS = 32
+HEAD_FILTERS = 1280
+DROP_CONNECT_RATE = 0.2
+
+
+def efficientnet_arch(b: int):
+    """Resolved per-variant architecture: (stem, [(BlockArgs, repeats)], head).
+
+    feature_dim(b) matches the reference's middim table
+    [1280,1280,1408,1536,1792,2048,2304,2560] (Models.py:66).
+    """
+    width, depth = SCALING[b]
+    stem = round_filters(STEM_FILTERS, width)
+    blocks = []
+    for args in BASE_BLOCKS:
+        blocks.append(
+            (
+                dataclasses.replace(
+                    args,
+                    in_filters=round_filters(args.in_filters, width),
+                    out_filters=round_filters(args.out_filters, width),
+                ),
+                round_repeats(args.num_repeat, depth),
+            )
+        )
+    head = round_filters(HEAD_FILTERS, width)
+    return stem, blocks, head
+
+
+class MBConvBlock(nn.Module):
+    """Mobile inverted bottleneck with squeeze-and-excitation."""
+
+    kernel: int
+    stride: int
+    expand_ratio: int
+    in_filters: int
+    out_filters: int
+    se_ratio: float
+    drop_rate: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        inputs = x
+        expanded = self.in_filters * self.expand_ratio
+        if self.expand_ratio != 1:
+            x = ConvBN(expanded, (1, 1), act="silu", dtype=self.dtype, name="expand")(
+                x, train
+            )
+        x = ConvBN(
+            expanded,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            groups=expanded,
+            act="silu",
+            dtype=self.dtype,
+            name="depthwise",
+        )(x, train)
+
+        if self.se_ratio > 0:
+            se_filters = max(1, int(self.in_filters * self.se_ratio))
+            s = jnp.mean(x, axis=(1, 2), keepdims=True)
+            s = nn.Conv(
+                se_filters, (1, 1), kernel_init=conv_kernel_init,
+                dtype=self.dtype, name="se_reduce",
+            )(s)
+            s = nn.silu(s)
+            s = nn.Conv(
+                expanded, (1, 1), kernel_init=conv_kernel_init,
+                dtype=self.dtype, name="se_expand",
+            )(s)
+            x = x * nn.sigmoid(s)
+
+        x = ConvBN(self.out_filters, (1, 1), act=None, dtype=self.dtype, name="project")(
+            x, train
+        )
+
+        if self.stride == 1 and self.in_filters == self.out_filters:
+            if self.drop_rate > 0 and train:
+                rng = self.make_rng("dropout")
+                x = drop_connect(x, rng, self.drop_rate, deterministic=not train)
+            x = x + inputs
+        return x
+
+
+class EfficientNet(nn.Module):
+    """EfficientNet feature extractor. Input NHWC; output [B, H/32, W/32, C]."""
+
+    b: int = 2
+    dtype: jnp.dtype = jnp.float32
+    drop_connect_rate: float = DROP_CONNECT_RATE
+
+    @property
+    def feature_dim(self) -> int:
+        return efficientnet_arch(self.b)[2]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stem, blocks, head = efficientnet_arch(self.b)
+        x = x.astype(self.dtype)
+        x = ConvBN(
+            stem, (3, 3), strides=(2, 2), act="silu", dtype=self.dtype, name="stem"
+        )(x, train)
+
+        total = sum(r for _, r in blocks)
+        idx = 0
+        for stage, (args, repeats) in enumerate(blocks):
+            for rep in range(repeats):
+                x = MBConvBlock(
+                    kernel=args.kernel,
+                    stride=args.stride if rep == 0 else 1,
+                    expand_ratio=args.expand_ratio,
+                    in_filters=args.in_filters if rep == 0 else args.out_filters,
+                    out_filters=args.out_filters,
+                    se_ratio=args.se_ratio,
+                    drop_rate=self.drop_connect_rate * idx / total,
+                    dtype=self.dtype,
+                    name=f"block_{idx}",
+                )(x, train)
+                idx += 1
+
+        x = ConvBN(head, (1, 1), act="silu", dtype=self.dtype, name="head")(x, train)
+        return x

@@ -1,0 +1,103 @@
+"""Shared building blocks for the model zoo (TPU/XLA-friendly).
+
+Convolutions use jax's 'SAME' padding, which implements TF-style asymmetric
+padding — the same semantics as efficientnet_pytorch's
+Conv2dStaticSamePadding, so pretrained-weight parity holds at stride-2 layers
+(SURVEY.md §7.3 item 2). Layout is NHWC throughout (TPU-native), vs the
+reference's NCHW.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def round_filters(filters: int, width_coefficient: float, divisor: int = 8) -> int:
+    """EfficientNet channel rounding (width scaling, snap to multiple of 8)."""
+    filters *= width_coefficient
+    new_filters = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_filters < 0.9 * filters:  # don't round down by more than 10%
+        new_filters += divisor
+    return int(new_filters)
+
+
+def round_repeats(repeats: int, depth_coefficient: float) -> int:
+    """EfficientNet depth rounding (ceil)."""
+    return int(math.ceil(depth_coefficient * repeats))
+
+
+def drop_connect(
+    x: jax.Array, rng: jax.Array, rate: float, deterministic: bool
+) -> jax.Array:
+    """Stochastic depth: drop the whole residual branch per sample.
+
+    Matches the reference dependency's semantics: keep with probability
+    1-rate, scale kept activations by 1/(1-rate); the Bernoulli draw is
+    per-sample (batch dim), broadcast over feature dims.
+    """
+    if deterministic or rate == 0.0:
+        return x
+    keep_prob = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(rng, keep_prob, shape)
+    return jnp.where(keep, x / keep_prob, 0.0)
+
+
+def psla_head_init(key, shape, dtype=jnp.float32):
+    """Uniform(-a, a) with a = sqrt(3) * sqrt(2 / fan_in): the pooling-head
+    initializer used by the reference (HigherModels.py:6-18)."""
+    fan_in = shape[0] if len(shape) == 2 else int(jnp.prod(jnp.array(shape[:-1])))
+    scale = math.sqrt(2.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+
+
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+dense_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm + optional activation, NHWC."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    groups: int = 1
+    padding: str | tuple = "SAME"
+    act: str | None = "silu"
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            feature_group_count=self.groups,
+            use_bias=False,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+        if self.act == "silu":
+            x = nn.silu(x)
+        elif self.act == "relu":
+            x = nn.relu(x)
+        elif self.act == "relu6":
+            x = jnp.minimum(nn.relu(x), 6.0)
+        elif self.act is not None:
+            raise ValueError(self.act)
+        return x

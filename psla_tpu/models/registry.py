@@ -1,0 +1,30 @@
+"""Model selection by name (reference: src/run.py:105-110)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from psla_tpu.models.effnet_att import EffNetAttention
+from psla_tpu.models.mobilenet import MBNet
+from psla_tpu.models.resnet import ResNetAttention
+
+MODEL_REGISTRY = ("efficientnet", "resnet", "mbnet")
+
+
+def create_model(
+    name: str,
+    label_dim: int = 527,
+    eff_b: int = 2,
+    head_num: int = 4,
+    dtype: jnp.dtype = jnp.float32,
+):
+    """Build the flax module for a model name (run.py's --model choices)."""
+    if name == "efficientnet":
+        return EffNetAttention(
+            label_dim=label_dim, b=eff_b, head_num=head_num, dtype=dtype
+        )
+    if name == "resnet":
+        return ResNetAttention(label_dim=label_dim, dtype=dtype)
+    if name == "mbnet":
+        return MBNet(label_dim=label_dim, dtype=dtype)
+    raise ValueError(f"unknown model {name!r}; choices: {MODEL_REGISTRY}")

@@ -1,0 +1,127 @@
+"""Model shape/param/grad tests (SURVEY.md §4b).
+
+Includes the parity anchor the reference states in its README: the flagship
+EfficientNet-B2 + 4-head attention model has 13.6M parameters total
+(README.md:239), with the feature dim table middim = [1280, 1280, 1408,
+1536, 1792, 2048, 2304, 2560] (Models.py:66).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from psla_tpu.models import EffNetAttention, MBNet, ResNetAttention, create_model
+from psla_tpu.models.efficientnet import EfficientNet, efficientnet_arch
+
+
+MIDDIM = [1280, 1280, 1408, 1536, 1792, 2048, 2304, 2560]
+
+
+@pytest.mark.parametrize("b", range(8))
+def test_efficientnet_feature_dims_match_reference_table(b):
+    assert efficientnet_arch(b)[2] == MIDDIM[b]
+
+
+def test_efficientnet_b2_block_structure():
+    _, blocks, _ = efficientnet_arch(2)
+    repeats = [r for _, r in blocks]
+    assert repeats == [2, 3, 3, 4, 4, 5, 2]  # depth 1.2 scaling
+    outs = [a.out_filters for a, _ in blocks]
+    assert outs == [16, 24, 48, 88, 120, 208, 352]  # width 1.1 scaling
+
+
+def _param_count(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+def test_effnet_attention_shapes_and_params():
+    model = EffNetAttention(label_dim=527, b=2, head_num=4)
+    x = jnp.zeros((2, 1056, 128))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 527)
+    assert np.all((np.asarray(out) > 0) & (np.asarray(out) < 1))
+    n = _param_count(variables["params"])
+    # README.md:239: 13.6M parameters
+    assert 13.0e6 < n < 14.2e6, n
+
+
+def test_effnet_small_variant_runs_fast():
+    model = EffNetAttention(label_dim=10, b=0, head_num=1)
+    x = jnp.zeros((1, 128, 128))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 10)
+
+
+def test_effnet_mean_pooling_head():
+    model = EffNetAttention(label_dim=10, b=0, head_num=0)
+    x = jnp.zeros((1, 128, 128))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert model.apply(variables, x, train=False).shape == (1, 10)
+
+
+def test_effnet_train_mode_mutates_batch_stats_and_uses_dropout_rng():
+    model = EffNetAttention(label_dim=10, b=0, head_num=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 10)
+    # running stats must have moved away from init
+    leaves = jax.tree.leaves(mutated["batch_stats"])
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_gradients_flow():
+    model = EffNetAttention(label_dim=10, b=0, head_num=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128))
+    y = jnp.zeros((2, 10)).at[:, 3].set(1.0)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss_fn(params):
+        out = model.apply({**variables, "params": params}, x, train=False)
+        out = jnp.clip(out, 1e-7, 1 - 1e-7)
+        return -jnp.mean(y * jnp.log(out) + (1 - y) * jnp.log(1 - out))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    norms = [float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert max(norms) > 0
+
+
+def test_resnet_attention_shapes():
+    model = ResNetAttention(label_dim=7)
+    x = jnp.zeros((1, 256, 128))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 7)
+    n = _param_count(variables["params"])
+    # torchvision resnet50 backbone is ~23.5M params (fc removed)
+    assert 23e6 < n < 25e6, n
+
+
+def test_mbnet_shapes():
+    model = MBNet(label_dim=7)
+    x = jnp.zeros((1, 256, 128))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 7)
+    n = _param_count(variables["params"])
+    # mobilenet_v2 features are ~2.2M + classifier
+    assert 2.0e6 < n < 3.0e6, n
+
+
+def test_registry():
+    for name in ("efficientnet", "resnet", "mbnet"):
+        m = create_model(name, label_dim=5, eff_b=0)
+        assert m is not None
+    with pytest.raises(ValueError):
+        create_model("nope")
