@@ -1,0 +1,175 @@
+"""Host-side input pipeline: WAV decode -> fixed-shape device batches.
+
+The reference does ALL preprocessing (fbank, mixup, SpecAugment, norm) in
+CPU DataLoader worker processes (src/dataloaders/audioset_dataset.py,
+src/run.py:87-103). Here the host only decodes WAVs into zero-padded raw
+waveform buffers and ships them to the device, where the fused frontend
+(psla_tpu.frontend.pipeline) does the math — that is the on-TPU-fbank
+design the ≥5x clip-throughput target is built on (BASELINE.json).
+
+Mixup partner semantics: the reference draws the partner uniformly over the
+WHOLE dataset inside __getitem__ (audioset_dataset.py:153). Exact-equivalent
+here: the loader draws a uniform partner index per primary sample and
+decodes the partner waveform alongside, so the device-side Beta(10,10)
+mixing sees the same partner distribution.
+
+Multi-host: each host constructs its loader with (host_id, num_hosts); a
+weighted sampler shard draws from the full distribution with a host-unique
+seed; a sequential (eval) shard takes a strided slice of the dataset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from psla_tpu.data.datafiles import Datafile
+from psla_tpu.data.sampler import UniformSampler, WeightedSampler
+from psla_tpu.data.wav import read_wav
+
+
+@dataclasses.dataclass
+class LoaderConfig:
+    batch_size: int = 32
+    buffer_samples: int = 169_200  # wav_buffer_length(target 1056 @ 16 kHz)
+    num_workers: int = 8
+    seed: int = 0
+    mixup: bool = False  # decode uniform partner waveforms too
+    drop_remainder: bool = True  # False pads the final batch (eval)
+    host_id: int = 0
+    num_hosts: int = 1
+    prefetch: int = 2
+
+
+def _decode(path: str, buffer_samples: int):
+    """Decode one clip -> (buffer [buffer_samples], full-clip mean, length)."""
+    wav, _sr = read_wav(path)
+    mean = np.float32(wav.mean()) if wav.size else np.float32(0.0)
+    n = min(wav.size, buffer_samples)
+    buf = np.zeros(buffer_samples, dtype=np.float32)
+    buf[:n] = wav[:n]
+    return buf, mean, np.int32(n)
+
+
+class AudioLoader:
+    """Iterable over host batches of raw waveforms + labels.
+
+    Each batch is a dict of numpy arrays with the field names of
+    frontend.pipeline.WavBatch, plus 'n_valid' (== batch_size except for a
+    padded final eval batch).
+    """
+
+    def __init__(
+        self,
+        datafile: Datafile,
+        config: LoaderConfig,
+        weights: np.ndarray | None = None,
+        shuffle: bool = True,
+    ):
+        self.datafile = datafile
+        self.config = config
+        self._labels = datafile.label_matrix()
+        seed = config.seed * 1009 + config.host_id
+        if weights is not None:
+            self._sampler = WeightedSampler(weights, seed=seed)
+            self._sequential = False
+        elif shuffle:
+            self._sampler = UniformSampler(len(datafile), seed=seed)
+            self._sequential = False
+        else:
+            self._sampler = None
+            self._sequential = True
+        self._mix_rng = np.random.default_rng(seed + 7919)
+        self._pool = ThreadPoolExecutor(max_workers=config.num_workers)
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.datafile)
+        if self._sequential:
+            # strided host shard keeps eval deterministic across hosts
+            return np.arange(self.config.host_id, n, self.config.num_hosts)
+        # samplers draw a full local epoch; for multi-host training each
+        # host draws len/num_hosts samples from the full distribution
+        per_host = n // self.config.num_hosts if self.config.num_hosts > 1 else n
+        return self._sampler.epoch(per_host)
+
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_indices_static())
+        bs = self.config.batch_size
+        return n // bs if self.config.drop_remainder else -(-n // bs)
+
+    def _epoch_indices_static(self) -> np.ndarray:
+        n = len(self.datafile)
+        if self._sequential:
+            return np.arange(self.config.host_id, n, self.config.num_hosts)
+        per_host = n // self.config.num_hosts if self.config.num_hosts > 1 else n
+        return np.arange(per_host)
+
+    def _build_batch(self, idxs: np.ndarray, n_valid: int) -> dict:
+        cfg = self.config
+        bs = len(idxs)
+        paths = [self.datafile.wav_path(i) for i in idxs]
+        decoded = list(self._pool.map(lambda p: _decode(p, cfg.buffer_samples), paths))
+        batch = {
+            "wav": np.stack([d[0] for d in decoded]),
+            "wav_mean": np.array([d[1] for d in decoded], np.float32),
+            "length": np.array([d[2] for d in decoded], np.int32),
+            "labels": self._labels[idxs],
+            "n_valid": np.int32(n_valid),
+        }
+        if cfg.mixup:
+            mix_idxs = self._mix_rng.integers(0, len(self.datafile), size=bs)
+            mix_paths = [self.datafile.wav_path(i) for i in mix_idxs]
+            mdec = list(
+                self._pool.map(lambda p: _decode(p, cfg.buffer_samples), mix_paths)
+            )
+            batch.update(
+                mix_wav=np.stack([d[0] for d in mdec]),
+                mix_wav_mean=np.array([d[1] for d in mdec], np.float32),
+                mix_length=np.array([d[2] for d in mdec], np.int32),
+                mix_labels=self._labels[mix_idxs],
+            )
+        else:
+            batch.update(
+                mix_wav=batch["wav"],
+                mix_wav_mean=batch["wav_mean"],
+                mix_length=batch["length"],
+                mix_labels=batch["labels"],
+            )
+        return batch
+
+    def __iter__(self):
+        cfg = self.config
+        idxs = self._epoch_indices()
+        bs = cfg.batch_size
+        n_batches = len(idxs) // bs if cfg.drop_remainder else -(-len(idxs) // bs)
+
+        q: queue.Queue = queue.Queue(maxsize=cfg.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    chunk = idxs[b * bs : (b + 1) * bs]
+                    n_valid = len(chunk)
+                    if n_valid < bs:  # pad final batch by repeating last item
+                        chunk = np.r_[chunk, np.full(bs - n_valid, chunk[-1])]
+                    q.put(self._build_batch(chunk, n_valid))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,68 @@
+"""Balanced sampling: per-sample weights + with-replacement samplers.
+
+Weight formula from the reference's weight generator
+(src/gen_weight_file.py:50-58): label_weight[c] = 1000 / (count[c] + 0.01);
+sample_weight[i] = sum of label_weight over the clip's labels. Training then
+draws indices with replacement proportional to sample_weight, the semantics
+of torch's WeightedRandomSampler as used in src/run.py:82-89.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from psla_tpu.data.datafiles import Datafile, load_datafile
+
+
+def compute_sample_weights(datafile: Datafile) -> np.ndarray:
+    """[N] sampling weights (gen_weight_file.py:50-58 formula)."""
+    counts = np.zeros(datafile.num_classes, dtype=np.float64)
+    per_sample = [datafile.label_indices(i) for i in range(len(datafile))]
+    for idxs in per_sample:
+        counts[idxs] += 1.0
+    label_weight = 1000.0 / (counts + 0.01)
+    weights = np.zeros(len(datafile), dtype=np.float64)
+    for i, idxs in enumerate(per_sample):
+        weights[i] = label_weight[idxs].sum()
+    return weights
+
+
+def gen_weight_file(datafile_json: str, label_csv: str, out_path: str | None = None):
+    """CLI-compatible weight file generation: writes {datafile}_weight.csv
+    (consumed like run.py:84)."""
+    df = load_datafile(datafile_json, label_csv)
+    weights = compute_sample_weights(df)
+    if out_path is None:
+        out_path = datafile_json[:-5] + "_weight.csv"
+    np.savetxt(out_path, weights, delimiter=",")
+    return out_path
+
+
+class WeightedSampler:
+    """With-replacement weighted index sampler (one epoch = N draws)."""
+
+    def __init__(self, weights: np.ndarray, seed: int = 0):
+        w = np.asarray(weights, dtype=np.float64)
+        assert np.all(w >= 0) and w.sum() > 0
+        self._p = w / w.sum()
+        self._rng = np.random.default_rng(seed)
+        self._n = len(w)
+
+    def epoch(self, num_samples: int | None = None) -> np.ndarray:
+        n = self._n if num_samples is None else num_samples
+        return self._rng.choice(self._n, size=n, replace=True, p=self._p)
+
+
+class UniformSampler:
+    """Shuffled without-replacement sampler (the bal=False path,
+    run.py:90-94)."""
+
+    def __init__(self, n: int, seed: int = 0):
+        self._n = n
+        self._rng = np.random.default_rng(seed)
+
+    def epoch(self, num_samples: int | None = None) -> np.ndarray:
+        perm = self._rng.permutation(self._n)
+        if num_samples is not None:
+            perm = perm[:num_samples]
+        return perm
