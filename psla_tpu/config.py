@@ -1,0 +1,132 @@
+"""Typed experiment configuration + dataset presets.
+
+One dataclass replaces the reference's bash-variable -> argparse -> dict
+chain (egs/*/run.sh + src/run.py:25-80). Presets mirror the recipe values
+(SURVEY.md §6.3). Deliberate fixes of reference quirks (SURVEY.md §7.4):
+``weight_decay`` and ``noise`` are honored (the reference silently ignores
+both flags), and ``att_head`` values other than 4 actually take effect.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from psla_tpu.frontend.fbank import FbankConfig
+from psla_tpu.frontend.pipeline import PreprocessConfig
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # data
+    data_train: str = ""
+    data_val: str = ""
+    data_eval: Optional[str] = None
+    label_csv: str = ""
+    exp_dir: str = "exp/psla"
+    dataset: str = "audioset"
+    n_class: int = 527
+    # model
+    model: str = "efficientnet"
+    eff_b: int = 2
+    att_head: int = 4
+    bn_momentum: float = 0.99  # flax convention; torch 0.01 == 0.99 here
+    impretrain: bool = True  # load a pretrained backbone checkpoint if given
+    pretrained_ckpt: Optional[str] = None
+    # preprocessing
+    target_length: int = 1056
+    num_mel_bins: int = 128
+    freqm: int = 48
+    timem: int = 192
+    mixup: float = 0.5
+    dataset_mean: float = -4.6476
+    dataset_std: float = 4.5699
+    noise: bool = False
+    skip_norm: bool = False
+    sample_rate: int = 16000
+    # optimization
+    lr: float = 1e-4
+    weight_decay: float = 5e-7
+    batch_size: int = 100
+    n_epochs: int = 30
+    warmup: bool = True
+    lrscheduler_start: int = 10
+    lrscheduler_decay: float = 0.5
+    loss: str = "BCE"
+    metrics: str = "mAP"
+    # sampling
+    bal: bool = True
+    # weight averaging / ensembling
+    wa: bool = True
+    wa_start: int = 16
+    wa_end: int = 30
+    save_model: bool = True
+    # engine
+    num_workers: int = 8
+    n_print_steps: int = 100
+    seed: int = 0
+    dtype: str = "float32"  # or "bfloat16" for MXU throughput
+    fbank_method: str = "fft"  # or "gemm" (fused MXU path)
+    # parallelism
+    num_devices: Optional[int] = None  # None = all visible
+    ensemble_size: int = 1  # >1: train E seeds over an 'ensemble' mesh axis
+
+    def preprocess_config(self) -> PreprocessConfig:
+        return PreprocessConfig(
+            fbank=FbankConfig(
+                sample_frequency=float(self.sample_rate),
+                num_mel_bins=self.num_mel_bins,
+            ),
+            target_length=self.target_length,
+            freq_mask=self.freqm,
+            time_mask=self.timem,
+            mixup_rate=self.mixup,
+            norm_mean=self.dataset_mean,
+            norm_std=self.dataset_std,
+            skip_norm=self.skip_norm,
+            noise=self.noise,
+            fbank_method=self.fbank_method,
+        )
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=1)
+
+    @classmethod
+    def load(cls, path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
+# Presets mirroring the reference recipes (SURVEY.md §6.3).
+
+FSD50K = dict(
+    dataset="fsd50k", n_class=200, lr=5e-4, batch_size=24, n_epochs=40,
+    wa_start=21, wa_end=40, lrscheduler_start=10, lrscheduler_decay=0.5,
+    freqm=48, timem=192, mixup=0.5, bal=True, target_length=3000,
+)
+
+AUDIOSET_FULL = dict(
+    dataset="audioset", n_class=527, lr=1e-4, batch_size=100, n_epochs=30,
+    wa_start=16, wa_end=30, lrscheduler_start=10, lrscheduler_decay=0.5,
+    freqm=48, timem=192, mixup=0.5, bal=True, target_length=1056,
+)
+
+AUDIOSET_BALANCED = dict(
+    dataset="audioset", n_class=527, lr=1e-3, batch_size=100, n_epochs=60,
+    wa_start=41, wa_end=60, lrscheduler_start=35, lrscheduler_decay=0.5,
+    freqm=48, timem=192, mixup=0.5, bal=False, target_length=1056,
+)
+
+PRESETS = {
+    "fsd50k": FSD50K,
+    "audioset_full": AUDIOSET_FULL,
+    "audioset_balanced": AUDIOSET_BALANCED,
+}
+
+
+def from_preset(name: str, **overrides) -> ExperimentConfig:
+    kwargs = dict(PRESETS[name])
+    kwargs.update(overrides)
+    return ExperimentConfig(**kwargs)

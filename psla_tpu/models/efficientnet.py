@@ -107,15 +107,15 @@ class MBConvBlock(nn.Module):
     se_ratio: float
     drop_rate: float
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool):
         inputs = x
         expanded = self.in_filters * self.expand_ratio
         if self.expand_ratio != 1:
-            x = ConvBN(expanded, (1, 1), act="silu", dtype=self.dtype, name="expand")(
-                x, train
-            )
+            x = ConvBN(expanded, (1, 1), act="silu", dtype=self.dtype,
+                       bn_momentum=self.bn_momentum, name="expand")(x, train)
         x = ConvBN(
             expanded,
             (self.kernel, self.kernel),
@@ -123,6 +123,7 @@ class MBConvBlock(nn.Module):
             groups=expanded,
             act="silu",
             dtype=self.dtype,
+            bn_momentum=self.bn_momentum,
             name="depthwise",
         )(x, train)
 
@@ -140,9 +141,8 @@ class MBConvBlock(nn.Module):
             )(s)
             x = x * nn.sigmoid(s)
 
-        x = ConvBN(self.out_filters, (1, 1), act=None, dtype=self.dtype, name="project")(
-            x, train
-        )
+        x = ConvBN(self.out_filters, (1, 1), act=None, dtype=self.dtype,
+                   bn_momentum=self.bn_momentum, name="project")(x, train)
 
         if self.stride == 1 and self.in_filters == self.out_filters:
             if self.drop_rate > 0 and train:
@@ -158,6 +158,7 @@ class EfficientNet(nn.Module):
     b: int = 2
     dtype: jnp.dtype = jnp.float32
     drop_connect_rate: float = DROP_CONNECT_RATE
+    bn_momentum: float = 0.99  # flax convention: running = m*old + (1-m)*new
 
     @property
     def feature_dim(self) -> int:
@@ -168,7 +169,8 @@ class EfficientNet(nn.Module):
         stem, blocks, head = efficientnet_arch(self.b)
         x = x.astype(self.dtype)
         x = ConvBN(
-            stem, (3, 3), strides=(2, 2), act="silu", dtype=self.dtype, name="stem"
+            stem, (3, 3), strides=(2, 2), act="silu", dtype=self.dtype,
+            bn_momentum=self.bn_momentum, name="stem"
         )(x, train)
 
         total = sum(r for _, r in blocks)
@@ -184,9 +186,11 @@ class EfficientNet(nn.Module):
                     se_ratio=args.se_ratio,
                     drop_rate=self.drop_connect_rate * idx / total,
                     dtype=self.dtype,
+                    bn_momentum=self.bn_momentum,
                     name=f"block_{idx}",
                 )(x, train)
                 idx += 1
 
-        x = ConvBN(head, (1, 1), act="silu", dtype=self.dtype, name="head")(x, train)
+        x = ConvBN(head, (1, 1), act="silu", dtype=self.dtype,
+                   bn_momentum=self.bn_momentum, name="head")(x, train)
         return x

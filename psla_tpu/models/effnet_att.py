@@ -25,12 +25,16 @@ class EffNetAttention(nn.Module):
     b: int = 2
     head_num: int = 4
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # [B, T, F] -> [B, F, T, 1]
         x = jnp.transpose(x, (0, 2, 1))[..., None]
-        feats = EfficientNet(b=self.b, dtype=self.dtype, name="effnet")(x, train=train)
+        feats = EfficientNet(
+            b=self.b, dtype=self.dtype, bn_momentum=self.bn_momentum,
+            name="effnet",
+        )(x, train=train)
         feats = jnp.mean(feats, axis=1)  # average residual freq axis -> [B, T', C]
         if self.head_num > 1:
             # NOTE: the reference silently ignores head_num > 1 and always

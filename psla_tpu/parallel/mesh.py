@@ -1,0 +1,70 @@
+"""Device mesh + sharding helpers: the distributed backend.
+
+Replaces the reference's torch.nn.DataParallel (src/traintest.py:44-45;
+single-process batch scatter over <=4 GPUs) with a jax.sharding Mesh:
+batches are sharded over the 'data' axis, parameters/optimizer state are
+replicated, and XLA inserts the gradient all-reduce (psum over ICI) from
+the sharding annotations on the jitted train step — no explicit collective
+code. Multi-host pods extend the same mesh over DCN via
+jax.distributed.initialize (each host feeding its local shard; see
+data/loader.py host sharding).
+
+An optional second 'ensemble' axis trains E independent seeds
+simultaneously (params stacked per-seed and sharded over the axis) — the
+TPU-native formulation of the reference's multi-run ensembles (§2 of the
+PSLA protocol trains 10 separate models; on a pod slice they can train in
+one program).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: int | None = None,
+    ensemble: int = 1,
+    devices=None,
+) -> Mesh:
+    """1-D ('data',) mesh, or 2-D ('ensemble', 'data') when ensemble > 1."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    devices = np.asarray(devices)
+    if ensemble > 1:
+        assert devices.size % ensemble == 0
+        grid = devices.reshape(ensemble, devices.size // ensemble)
+        return Mesh(grid, ("ensemble", "data"))
+    return Mesh(devices.reshape(-1), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over 'data'; replicated over 'ensemble'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def ensemble_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (seed) dim sharded over 'ensemble' (stacked params)."""
+    return NamedSharding(mesh, P("ensemble"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch (dict of numpy arrays) onto the mesh, batch-dim
+    sharded over 'data'. Scalars are replicated."""
+    data_sh = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, data_sh)
+
+    return jax.tree.map(put, batch)

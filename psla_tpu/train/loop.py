@@ -1,0 +1,403 @@
+"""Training/validation engine: the reference train-loop protocol, TPU-native.
+
+Reimplements the behavior of src/traintest.py on top of the jitted sharded
+steps: per-epoch train + validate, running checkpoint-ensemble of
+prediction CSVs, 10-column result.csv rows, best/per-epoch checkpoints
+(orbax), NaN-divergence abort, per-sample data/DNN timing meters, and
+end-of-training weight averaging. Adds what the reference lacks
+(SURVEY.md §5.4): true mid-run resume (step/epoch/optimizer/rng restore).
+
+Artifact layout under exp_dir mirrors the reference:
+  result.csv, wa_result.csv, stats_{epoch}.pickle, progress.json,
+  predictions/{target.csv, predictions_{e}.csv, ensemble_predictions.csv},
+  models/{epoch_N/, best/, wa/} (orbax checkpoint dirs instead of .pth).
+
+Deliberate deviations (SURVEY.md §7.4): weight averaging divides by the
+true checkpoint count (the reference's validate_wa divides by N+1,
+traintest.py:302-315); the honored flags noted in config.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from psla_tpu.config import ExperimentConfig
+from psla_tpu.data.loader import AudioLoader
+from psla_tpu.metrics import calculate_stats, d_prime
+from psla_tpu.models import create_model
+from psla_tpu.models.convert import load_pth
+from psla_tpu.parallel.mesh import make_mesh, shard_batch
+from psla_tpu.train.meters import AverageMeter
+from psla_tpu.train.optim import make_optimizer, psla_lr_schedule
+from psla_tpu.train.state import TrainState
+from psla_tpu.train.step import build_eval_step, build_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        train_loader: AudioLoader,
+        val_loader: AudioLoader,
+        eval_loader: AudioLoader | None = None,
+    ):
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.eval_loader = eval_loader
+
+        self.exp_dir = os.path.abspath(config.exp_dir)
+        os.makedirs(os.path.join(self.exp_dir, "models"), exist_ok=True)
+        os.makedirs(os.path.join(self.exp_dir, "predictions"), exist_ok=True)
+        config.save(os.path.join(self.exp_dir, "config.json"))
+
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.model = create_model(
+            config.model,
+            label_dim=config.n_class,
+            eff_b=config.eff_b,
+            head_num=config.att_head,
+            dtype=dtype,
+            bn_momentum=config.bn_momentum,
+        )
+        self.pre_config = config.preprocess_config()
+        self.mesh = make_mesh(config.num_devices)
+
+        self.steps_per_epoch = max(1, train_loader.batches_per_epoch())
+        self.schedule = psla_lr_schedule(
+            config.lr,
+            self.steps_per_epoch,
+            lrscheduler_start=config.lrscheduler_start,
+            lrscheduler_decay=config.lrscheduler_decay,
+            warmup=config.warmup,
+        )
+        self.tx = make_optimizer(self.schedule, config.weight_decay)
+        self.train_step = build_train_step(
+            self.model, self.tx, self.pre_config, config.loss, mesh=self.mesh
+        )
+        self.eval_step = build_eval_step(
+            self.model, self.pre_config, config.loss, mesh=self.mesh
+        )
+        self.rng = jax.random.PRNGKey(config.seed)
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self) -> TrainState:
+        cfg = self.config
+        example = jnp.zeros(
+            (1, cfg.target_length, cfg.num_mel_bins), jnp.float32
+        )
+        init_key, self.rng = jax.random.split(self.rng)
+        variables = self.model.init(init_key, example, train=False)
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        if cfg.pretrained_ckpt:
+            params, batch_stats = self._load_pretrained(cfg.pretrained_ckpt, params)
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        return jax.device_put(
+            state, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        )
+
+    def _load_pretrained(self, path: str, init_params):
+        if path.endswith(".pth"):
+            variables = load_pth(path, self.config.model, self.config.n_class)
+        else:
+            variables = self._ckpt.restore(os.path.abspath(path))
+            if "params" not in variables:
+                raise ValueError(f"{path}: not a psla_tpu checkpoint")
+        return variables["params"], variables.get("batch_stats", {})
+
+    # ------------------------------------------------------- checkpointing
+
+    def _ckpt_dir(self, tag) -> str:
+        return os.path.join(self.exp_dir, "models", str(tag))
+
+    def save_checkpoint(self, state: TrainState, tag):
+        path = self._ckpt_dir(tag)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(
+            path,
+            {
+                "step": np.asarray(state.step),
+                "params": jax.tree.map(np.asarray, state.params),
+                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            },
+        )
+
+    def restore_checkpoint(self, tag) -> TrainState:
+        tree = self._ckpt.restore(self._ckpt_dir(tag))
+        # orbax restores pytrees as plain dicts; rebuild the optax state
+        # structure (NamedTuples) from the leaves in tree order.
+        opt_template = self.tx.init(tree["params"])
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(opt_template), jax.tree.leaves(tree["opt_state"])
+        )
+        state = TrainState(
+            step=jnp.asarray(tree["step"]),
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=opt_state,
+        )
+        return jax.device_put(
+            state, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        )
+
+    def _progress_path(self):
+        return os.path.join(self.exp_dir, "progress.json")
+
+    def _load_progress(self):
+        if os.path.exists(self._progress_path()):
+            with open(self._progress_path()) as f:
+                return json.load(f)
+        return {
+            "epoch": 0,
+            "global_step": 0,
+            "best_epoch": 0,
+            "best_metric": -float("inf"),
+            "best_ensemble_epoch": 0,
+            "best_ensemble_metric": -float("inf"),
+            "history": [],
+        }
+
+    def _save_progress(self, progress):
+        with open(self._progress_path(), "w") as f:
+            json.dump(progress, f, indent=1)
+
+    # ------------------------------------------------------------ training
+
+    def train(self, resume: bool = False) -> TrainState:
+        cfg = self.config
+        progress = self._load_progress() if resume else self._load_progress()
+        if resume and progress["epoch"] > 0:
+            state = self.restore_checkpoint(f"epoch_{progress['epoch']}")
+            print(f"resumed from epoch {progress['epoch']}")
+        else:
+            progress = {
+                "epoch": 0, "global_step": 0, "best_epoch": 0,
+                "best_metric": -float("inf"), "best_ensemble_epoch": 0,
+                "best_ensemble_metric": -float("inf"), "history": [],
+            }
+            state = self.init_state()
+
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+        print(f"Total parameter number is : {n_params / 1e6:.3f} million")
+
+        result_rows = np.zeros((cfg.n_epochs, 10))
+        result_path = os.path.join(self.exp_dir, "result.csv")
+        if resume and os.path.exists(result_path):
+            prev = np.atleast_2d(np.loadtxt(result_path, delimiter=","))
+            result_rows[: prev.shape[0]] = prev[: cfg.n_epochs]
+
+        start_time = time.time()
+        rng = self.rng
+        for epoch in range(progress["epoch"] + 1, cfg.n_epochs + 1):
+            epoch_begin = time.time()
+            meters = {
+                k: AverageMeter()
+                for k in ("per_sample_time", "per_sample_data_time",
+                          "per_sample_dnn_time", "loss")
+            }
+            end_time = time.time()
+            for i, host_batch in enumerate(self.train_loader):
+                bs = int(host_batch["n_valid"])
+                batch = shard_batch(host_batch, self.mesh)
+                data_t = time.time() - end_time
+                dnn_start = time.time()
+                state, metrics = self.train_step(state, batch, rng)
+                loss = float(metrics["loss"])
+                now = time.time()
+                meters["loss"].update(loss, bs)
+                meters["per_sample_data_time"].update(data_t / bs, bs)
+                meters["per_sample_dnn_time"].update((now - dnn_start) / bs, bs)
+                meters["per_sample_time"].update((now - end_time) / bs, bs)
+                gstep = int(state.step)
+                if gstep % cfg.n_print_steps == 0 and gstep != 0:
+                    print(
+                        f"Epoch: [{epoch}][{i}/{self.steps_per_epoch}]  "
+                        f"per-sample total {meters['per_sample_time'].avg:.5f}  "
+                        f"data {meters['per_sample_data_time'].avg:.5f}  "
+                        f"dnn {meters['per_sample_dnn_time'].avg:.5f}  "
+                        f"loss {meters['loss'].avg:.4f}",
+                        flush=True,
+                    )
+                    if np.isnan(meters["loss"].avg):
+                        print("training diverged...")
+                        return state
+                end_time = time.time()
+
+            # ---------------- validation + artifacts (traintest.py:136-200)
+            stats, valid_loss = self.validate(state, self.val_loader, epoch)
+            ensemble_stats = self.validate_ensemble(epoch)
+
+            mAP = float(np.mean([s["AP"] for s in stats]))
+            mAUC = float(np.nanmean([s["auc"] for s in stats]))
+            acc = stats[0]["acc"]
+            ens_mAP = float(np.mean([s["AP"] for s in ensemble_stats]))
+            ens_mAUC = float(np.nanmean([s["auc"] for s in ensemble_stats]))
+            ens_acc = ensemble_stats[0]["acc"]
+            mid_p = float(np.mean(
+                [s["precisions"][len(s["precisions"]) // 2] for s in stats]
+            ))
+            mid_r = float(np.mean(
+                [s["recalls"][len(s["recalls"]) // 2] for s in stats]
+            ))
+            cur_lr = float(self.schedule(int(state.step)))
+
+            main = mAP if cfg.metrics == "mAP" else acc
+            ens_main = ens_mAP if cfg.metrics == "mAP" else ens_acc
+            print(f"mAP: {mAP:.6f}" if cfg.metrics == "mAP" else f"acc: {acc:.6f}")
+            print(f"AUC: {mAUC:.6f}")
+            print(f"d_prime: {d_prime(mAUC):.6f}")
+            print(f"train_loss: {meters['loss'].avg:.6f}")
+            print(f"valid_loss: {valid_loss:.6f}")
+
+            result_rows[epoch - 1] = [
+                main, mAUC, mid_p, mid_r, d_prime(mAUC), meters["loss"].avg,
+                valid_loss, ens_main, ens_mAUC, cur_lr,
+            ]
+            np.savetxt(result_path, result_rows, delimiter=",")
+
+            if main > progress["best_metric"]:
+                progress["best_metric"] = main
+                progress["best_epoch"] = epoch
+            if ens_main > progress["best_ensemble_metric"]:
+                progress["best_ensemble_metric"] = ens_main
+                progress["best_ensemble_epoch"] = epoch
+
+            if progress["best_epoch"] == epoch:
+                self.save_checkpoint(state, "best")
+            self.save_checkpoint(state, f"epoch_{epoch}")
+
+            with open(
+                os.path.join(self.exp_dir, f"stats_{epoch}.pickle"), "wb"
+            ) as f:
+                pickle.dump(stats, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+            progress["epoch"] = epoch
+            progress["global_step"] = int(state.step)
+            progress["history"].append(
+                [epoch, int(state.step), progress["best_epoch"],
+                 progress["best_metric"], time.time() - start_time]
+            )
+            self._save_progress(progress)
+            print(f"epoch {epoch} training time: {time.time() - epoch_begin:.3f}")
+
+        if cfg.wa:
+            self.weight_average(cfg.wa_start, cfg.wa_end)
+        return state
+
+    # ---------------------------------------------------------- validation
+
+    def validate(
+        self, state: TrainState, loader: AudioLoader, epoch, eval_target=False
+    ):
+        """No-grad eval pass; writes prediction CSVs (traintest.py:232-276).
+
+        Loss is the mean of per-sample losses (the reference averages
+        per-batch means; identical for equal batch sizes)."""
+        preds, targets, losses = [], [], []
+        for host_batch in loader:
+            n_valid = int(host_batch["n_valid"])
+            batch = shard_batch(host_batch, self.mesh)
+            out, per_sample = self.eval_step(state, batch)
+            preds.append(np.asarray(out)[:n_valid])
+            targets.append(host_batch["labels"][:n_valid])
+            losses.append(np.asarray(per_sample)[:n_valid])
+        output = np.concatenate(preds)
+        target = np.concatenate(targets)
+        loss = float(np.mean(np.concatenate(losses)))
+        stats = calculate_stats(output, target)
+
+        pred_dir = os.path.join(self.exp_dir, "predictions")
+        target_csv = os.path.join(pred_dir, "target.csv")
+        if not os.path.exists(target_csv):
+            np.savetxt(target_csv, target, delimiter=",")
+        np.savetxt(
+            os.path.join(pred_dir, f"predictions_{epoch}.csv"),
+            output,
+            delimiter=",",
+        )
+        if eval_target:
+            eval_csv = os.path.join(pred_dir, "eval_target.csv")
+            if not os.path.exists(eval_csv):
+                np.savetxt(eval_csv, target, delimiter=",")
+        return stats, loss
+
+    def validate_ensemble(self, epoch: int):
+        """Running mean of per-epoch prediction CSVs
+        (traintest.py:278-294), deleting the epoch-1 file."""
+        pred_dir = os.path.join(self.exp_dir, "predictions")
+        target = np.loadtxt(os.path.join(pred_dir, "target.csv"), delimiter=",")
+        ens_path = os.path.join(pred_dir, "ensemble_predictions.csv")
+        if epoch == 1:
+            ensemble = np.loadtxt(
+                os.path.join(pred_dir, "predictions_1.csv"), delimiter=","
+            )
+        else:
+            ensemble = np.loadtxt(ens_path, delimiter=",") * (epoch - 1)
+            ensemble += np.loadtxt(
+                os.path.join(pred_dir, f"predictions_{epoch}.csv"), delimiter=","
+            )
+            prev = os.path.join(pred_dir, f"predictions_{epoch - 1}.csv")
+            if os.path.exists(prev):
+                os.remove(prev)
+            ensemble = ensemble / epoch
+        np.savetxt(ens_path, ensemble, delimiter=",")
+        return calculate_stats(np.atleast_2d(ensemble), np.atleast_2d(target))
+
+    # ------------------------------------------------------ weight averaging
+
+    def weight_average(self, start_epoch: int, end_epoch: int) -> TrainState:
+        """Average params+batch_stats over epoch checkpoints
+        (traintest.py:296-322 semantics, with the correct 1/N)."""
+        cfg = self.config
+        total = None
+        count = 0
+        for epoch in range(start_epoch, end_epoch + 1):
+            path = self._ckpt_dir(f"epoch_{epoch}")
+            if not os.path.exists(path):
+                continue
+            tree = self._ckpt.restore(path)
+            part = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+            total = part if total is None else jax.tree.map(np.add, total, part)
+            count += 1
+            if not cfg.save_model:
+                shutil.rmtree(path)
+        if count == 0:
+            raise FileNotFoundError(
+                f"no checkpoints in epochs [{start_epoch}, {end_epoch}]"
+            )
+        avg = jax.tree.map(lambda x: x / count, total)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=avg["params"],
+            batch_stats=avg["batch_stats"],
+            opt_state=self.tx.init(avg["params"]),
+        )
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        )
+        self.save_checkpoint(state, "wa")
+        stats, _ = self.validate(state, self.val_loader, "wa")
+        mAP = float(np.mean([s["AP"] for s in stats]))
+        mAUC = float(np.nanmean([s["auc"] for s in stats]))
+        np.savetxt(os.path.join(self.exp_dir, "wa_result.csv"), [mAP, mAUC])
+        print(f"weight-averaged model ({count} ckpts): mAP {mAP:.6f} AUC {mAUC:.6f}")
+        return state

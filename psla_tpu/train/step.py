@@ -1,0 +1,131 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+One XLA program does what the reference splits across CPU dataloader
+workers and DataParallel GPU replicas (src/traintest.py:81-109): on-device
+preprocessing (mixup -> fbank -> SpecAugment -> normalize), forward,
+BCE/CE loss, backward, and the Adam update. Under a ('data',) mesh the
+batch dims are sharded and XLA derives the gradient all-reduce over ICI
+from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from psla_tpu.frontend.pipeline import (
+    PreprocessConfig,
+    WavBatch,
+    preprocess_eval,
+    preprocess_train,
+)
+from psla_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from psla_tpu.train.optim import bce_loss, ce_loss
+from psla_tpu.train.state import TrainState
+
+_BATCH_FIELDS = (
+    "wav", "wav_mean", "length", "labels",
+    "mix_wav", "mix_wav_mean", "mix_length", "mix_labels",
+)
+
+
+def _wav_batch(batch: dict) -> WavBatch:
+    return WavBatch(**{k: batch[k] for k in _BATCH_FIELDS})
+
+
+def _per_sample_loss(probs, targets, loss_type):
+    p = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+    if loss_type == "BCE":
+        return -jnp.mean(
+            targets * jnp.log(p) + (1 - targets) * jnp.log1p(-p), axis=-1
+        )
+    idx = jnp.argmax(targets, axis=1)
+    logp = p - jax.scipy.special.logsumexp(p, axis=-1, keepdims=True)
+    return -jnp.take_along_axis(logp, idx[:, None], axis=1)[:, 0]
+
+
+def build_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    pre_config: PreprocessConfig,
+    loss_type: str = "BCE",
+    mesh=None,
+):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+    loss_fn_final = bce_loss if loss_type == "BCE" else ce_loss
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        step_key = jax.random.fold_in(rng, state.step)
+        pre_key, drop_key = jax.random.split(step_key)
+
+        fbank, labels = preprocess_train(pre_key, _wav_batch(batch), pre_config)
+
+        def loss_of(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                fbank,
+                train=True,
+                rngs={"dropout": drop_key},
+                mutable=["batch_stats"],
+            )
+            return loss_fn_final(out, labels), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        batch_shardings = {k: data for k in _BATCH_FIELDS}
+        batch_shardings["n_valid"] = repl
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, batch_shardings, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def build_eval_step(
+    model,
+    pre_config: PreprocessConfig,
+    loss_type: str = "BCE",
+    mesh=None,
+):
+    """Returns jitted eval_step(state, batch) -> (probs [B,C],
+    per_sample_loss [B]). Host trims padded tail rows via batch['n_valid']."""
+    eval_config = pre_config.eval_variant()
+
+    def eval_step(state: TrainState, batch: dict):
+        fbank = preprocess_eval(_wav_batch(batch), eval_config)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            fbank,
+            train=False,
+        )
+        return out, _per_sample_loss(out, batch["labels"], loss_type)
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        batch_shardings = {k: data for k in _BATCH_FIELDS}
+        batch_shardings["n_valid"] = repl
+        return jax.jit(
+            eval_step,
+            in_shardings=(repl, batch_shardings),
+            out_shardings=(data, data),
+        )
+    return jax.jit(eval_step)

@@ -1,0 +1,115 @@
+"""End-to-end training engine tests on a synthetic corpus (SURVEY.md §4d).
+
+Covers: artifact layout (result.csv, predictions CSVs, checkpoints,
+progress), learning (loss decreases / beats chance mAP on separable tones),
+checkpoint-ensemble accumulation, weight averaging, and true resume.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from psla_tpu.config import ExperimentConfig
+from psla_tpu.data import AudioLoader, LoaderConfig, load_datafile
+from psla_tpu.frontend.pipeline import PreprocessConfig
+from psla_tpu.train import Trainer
+from tests.synth import build_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    return build_corpus(
+        str(root), num_classes=4, clips_per_class=6, seconds=1.0,
+        multi_label_frac=0.0,
+    )
+
+
+def _make_trainer(corpus, exp_dir, **overrides) -> Trainer:
+    datafile, label_csv = corpus
+    cfg = ExperimentConfig(
+        data_train=datafile, data_val=datafile, label_csv=label_csv,
+        exp_dir=exp_dir, n_class=4, model="efficientnet", eff_b=0, att_head=1,
+        target_length=128, freqm=0, timem=0, mixup=0.0,
+        lr=5e-3, batch_size=8, n_epochs=3, warmup=False,
+        bn_momentum=0.3,  # fast-moving running stats so eval tracks train
+        lrscheduler_start=100, wa=True, wa_start=2, wa_end=3,
+        num_workers=2, n_print_steps=1000, bal=False, seed=0,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    df = load_datafile(datafile, label_csv)
+    pre = cfg.preprocess_config()
+    buf = pre.fbank.buffer_length(cfg.target_length)
+    train_loader = AudioLoader(
+        df,
+        LoaderConfig(batch_size=cfg.batch_size, buffer_samples=buf,
+                     num_workers=2, mixup=cfg.mixup > 0, seed=cfg.seed),
+    )
+    val_loader = AudioLoader(
+        df,
+        LoaderConfig(batch_size=cfg.batch_size, buffer_samples=buf,
+                     num_workers=2, drop_remainder=False),
+        shuffle=False,
+    )
+    return Trainer(cfg, train_loader, val_loader)
+
+
+@pytest.fixture(scope="module")
+def trained(corpus, tmp_path_factory):
+    exp_dir = str(tmp_path_factory.mktemp("exp"))
+    trainer = _make_trainer(corpus, exp_dir)
+    state = trainer.train()
+    return trainer, state, exp_dir
+
+
+def test_artifacts_written(trained):
+    _, _, exp_dir = trained
+    result = np.loadtxt(os.path.join(exp_dir, "result.csv"), delimiter=",")
+    assert result.shape == (3, 10)
+    assert np.all(result[:, 1] > 0)  # AUC column populated
+    assert os.path.exists(os.path.join(exp_dir, "predictions", "target.csv"))
+    assert os.path.exists(
+        os.path.join(exp_dir, "predictions", "ensemble_predictions.csv")
+    )
+    # epoch-1/2 prediction CSVs deleted by the running ensemble; epoch 3 kept
+    assert not os.path.exists(
+        os.path.join(exp_dir, "predictions", "predictions_1.csv")
+    )
+    assert os.path.exists(
+        os.path.join(exp_dir, "predictions", "predictions_3.csv")
+    )
+    for tag in ("epoch_1", "epoch_2", "epoch_3", "best", "wa"):
+        assert os.path.isdir(os.path.join(exp_dir, "models", tag)), tag
+    assert os.path.exists(os.path.join(exp_dir, "wa_result.csv"))
+    assert os.path.exists(os.path.join(exp_dir, "stats_3.pickle"))
+    assert os.path.exists(os.path.join(exp_dir, "progress.json"))
+    assert os.path.exists(os.path.join(exp_dir, "config.json"))
+
+
+def test_training_learns(trained):
+    _, _, exp_dir = trained
+    result = np.loadtxt(os.path.join(exp_dir, "result.csv"), delimiter=",")
+    train_losses = result[:, 5]
+    assert train_losses[-1] < train_losses[0]
+    # 4 separable tone classes: after 3 epochs mAP must beat chance (~0.31)
+    assert result[-1, 0] > 0.35, result[:, 0]
+
+
+def test_resume_continues(trained, corpus):
+    trainer, state, exp_dir = trained
+    t2 = _make_trainer(corpus, exp_dir, n_epochs=4, wa=False)
+    state2 = t2.train(resume=True)
+    assert int(state2.step) == int(state.step) + t2.steps_per_epoch
+    result = np.loadtxt(os.path.join(exp_dir, "result.csv"), delimiter=",")
+    assert result.shape == (4, 10)
+    assert result[3, 1] > 0  # epoch 4 row filled
+
+
+def test_wa_checkpoint_loadable(trained):
+    trainer, _, _ = trained
+    wa_state = trainer.restore_checkpoint("wa")
+    stats, loss = trainer.validate(wa_state, trainer.val_loader, "wa_check")
+    assert np.isfinite(loss)
+    assert len(stats) == 4
