@@ -1,0 +1,115 @@
+"""Benchmark: flagship training throughput on one TPU chip.
+
+Measures the FULL training step of the flagship AudioSet configuration
+(EfficientNet-B2 + 4-head attention, 527 classes, target_length 1056,
+bf16 compute) INCLUDING on-device preprocessing from raw waveforms
+(mixup -> kaldi fbank -> SpecAugment -> normalize), forward, backward, and
+the Adam update — i.e. everything the reference splits across CPU
+dataloader workers and DataParallel GPUs.
+
+Baseline: the reference trains full AudioSet-2M (30 epochs x ~2M clips) in
+~1 week on 4x GTX TITAN (README.md:165) => ~99.2 clips/s aggregate,
+~24.8 clips/s per GPU. vs_baseline compares per-chip to per-GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC_PER_GPU = 2_000_000 * 30 / (7 * 24 * 3600) / 4
+
+
+def _make_batch(batch_size: int, pre):
+    rng = np.random.RandomState(0)
+    n = pre.fbank.buffer_length(pre.target_length)
+    wav = (0.05 * rng.randn(batch_size, n)).astype(np.float32)
+    labels = (rng.rand(batch_size, 527) < 0.01).astype(np.float32)
+    return {
+        "wav": wav,
+        "wav_mean": wav.mean(axis=1),
+        "length": np.full(batch_size, n, np.int32),
+        "labels": labels,
+        "mix_wav": wav[::-1].copy(),
+        "mix_wav_mean": wav.mean(axis=1)[::-1].copy(),
+        "mix_length": np.full(batch_size, n, np.int32),
+        "mix_labels": labels[::-1].copy(),
+        "n_valid": np.int32(batch_size),
+    }
+
+
+def run(batch_size: int = 64, steps: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.models import create_model
+    from psla_tpu.train.optim import make_optimizer, psla_lr_schedule
+    from psla_tpu.train.state import TrainState
+    from psla_tpu.train.step import build_train_step
+
+    cfg = ExperimentConfig(dtype="bfloat16", batch_size=batch_size)
+    pre = cfg.preprocess_config()
+    model = create_model(
+        cfg.model, label_dim=cfg.n_class, eff_b=cfg.eff_b,
+        head_num=cfg.att_head, dtype=jnp.bfloat16,
+    )
+    tx = make_optimizer(psla_lr_schedule(cfg.lr, steps_per_epoch=20000))
+
+    example = jnp.zeros((1, cfg.target_length, cfg.num_mel_bins), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, example, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+    step_fn = build_train_step(model, tx, pre, cfg.loss, mesh=None)
+
+    batch = jax.device_put(_make_batch(batch_size, pre))
+    rng = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    for _ in range(3):
+        state, metrics = step_fn(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch_size * steps / dt
+    return clips_per_sec, float(metrics["loss"])
+
+
+def main():
+    for bs in (128, 64, 32):
+        try:
+            clips_per_sec, loss = run(bs)
+            assert np.isfinite(loss)
+            break
+        except Exception as e:  # OOM fallback to smaller batch
+            if bs == 32:
+                raise
+            last = e
+    print(
+        json.dumps(
+            {
+                "metric": "train_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s (EffNet-B2+4head, T=1056, bf16, incl. on-device fbank+augment)",
+                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Single training entry point (replaces the reference's run.sh + run.py).
+
+Flag names mirror src/run.py:25-72 so reference users can port commands
+directly; ``--preset`` pulls in a full recipe (egs/*/run.sh values,
+SURVEY.md §6.3) with any explicit flag overriding it.
+
+Example:
+    python -m psla_tpu.cli --preset fsd50k \
+        --data-train tr.json --data-val val.json --data-eval eval.json \
+        --label-csv class_labels_indices.csv --exp-dir exp/fsd
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+import numpy as np
+
+from psla_tpu.config import ExperimentConfig, PRESETS
+from psla_tpu.data import (
+    AudioLoader,
+    LoaderConfig,
+    compute_sample_weights,
+    load_datafile,
+)
+from psla_tpu.train import Trainer
+from psla_tpu.train.protocol import post_training_summary
+
+
+def _bool(v):  # the reference parses booleans with ast.literal_eval (run.py:50)
+    return bool(ast.literal_eval(str(v)))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    # I/O
+    p.add_argument("--data-train", type=str, default="")
+    p.add_argument("--data-val", type=str, default="")
+    p.add_argument("--data-eval", type=str, default=None)
+    p.add_argument("--label-csv", type=str, default="")
+    p.add_argument("--exp-dir", type=str, default="")
+    # optimization
+    p.add_argument("-b", "--batch-size", type=int, default=None)
+    p.add_argument("-w", "--num-workers", type=int, default=None)
+    p.add_argument("--lr", "--learning-rate", type=float, default=None)
+    p.add_argument("--weight-decay", "--wd", type=float, default=None)
+    p.add_argument("--n-epochs", type=int, default=None)
+    p.add_argument("--n-print-steps", type=int, default=None)
+    p.add_argument("--warmup", type=_bool, default=None)
+    p.add_argument("--lrscheduler_start", type=int, default=None)
+    p.add_argument("--lrscheduler_decay", type=float, default=None)
+    p.add_argument("--loss", choices=["BCE", "CE"], default=None)
+    p.add_argument("--metrics", choices=["mAP", "acc"], default=None)
+    # model
+    p.add_argument("--model", choices=["efficientnet", "resnet", "mbnet"], default=None)
+    p.add_argument("--eff_b", type=int, default=None)
+    p.add_argument("--att_head", type=int, default=None)
+    p.add_argument("--impretrain", type=_bool, default=None)
+    p.add_argument("--pretrained-ckpt", type=str, default=None)
+    p.add_argument("--n_class", type=int, default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    # data / augmentation
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--dataset_mean", type=float, default=None)
+    p.add_argument("--dataset_std", type=float, default=None)
+    p.add_argument("--target_length", type=int, default=None)
+    p.add_argument("--freqm", type=int, default=None)
+    p.add_argument("--timem", type=int, default=None)
+    p.add_argument("--mixup", type=float, default=None)
+    p.add_argument("--noise", type=_bool, default=None)
+    p.add_argument("--bal", type=_bool, default=None)
+    # weight averaging
+    p.add_argument("--wa", type=_bool, default=None)
+    p.add_argument("--wa_start", type=int, default=None)
+    p.add_argument("--wa_end", type=int, default=None)
+    p.add_argument("--save_model", type=_bool, default=None)
+    # engine
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-devices", type=int, default=None)
+    return p
+
+
+_ARG_TO_FIELD = {
+    "data_train": "data_train", "data_val": "data_val", "data_eval": "data_eval",
+    "label_csv": "label_csv", "exp_dir": "exp_dir", "batch_size": "batch_size",
+    "num_workers": "num_workers", "lr": "lr", "weight_decay": "weight_decay",
+    "n_epochs": "n_epochs", "n_print_steps": "n_print_steps", "warmup": "warmup",
+    "lrscheduler_start": "lrscheduler_start",
+    "lrscheduler_decay": "lrscheduler_decay", "loss": "loss",
+    "metrics": "metrics", "model": "model", "eff_b": "eff_b",
+    "att_head": "att_head", "impretrain": "impretrain",
+    "pretrained_ckpt": "pretrained_ckpt", "n_class": "n_class",
+    "dtype": "dtype", "dataset": "dataset", "dataset_mean": "dataset_mean",
+    "dataset_std": "dataset_std", "target_length": "target_length",
+    "freqm": "freqm", "timem": "timem", "mixup": "mixup", "noise": "noise",
+    "bal": "bal", "wa": "wa", "wa_start": "wa_start", "wa_end": "wa_end",
+    "save_model": "save_model", "seed": "seed", "num_devices": "num_devices",
+}
+
+
+def config_from_args(args) -> ExperimentConfig:
+    kwargs = dict(PRESETS[args.preset]) if args.preset else {}
+    for arg_name, field in _ARG_TO_FIELD.items():
+        v = getattr(args, arg_name, None)
+        if v is not None and v != "":
+            kwargs[field] = v
+    return ExperimentConfig(**kwargs)
+
+
+def make_loaders(cfg: ExperimentConfig):
+    pre = cfg.preprocess_config()
+    buf = pre.fbank.buffer_length(cfg.target_length)
+    train_df = load_datafile(cfg.data_train, cfg.label_csv)
+    val_df = load_datafile(cfg.data_val, cfg.label_csv)
+
+    weights = compute_sample_weights(train_df) if cfg.bal else None
+    if cfg.bal:
+        print("balanced sampler is being used")
+    train_loader = AudioLoader(
+        train_df,
+        LoaderConfig(
+            batch_size=cfg.batch_size, buffer_samples=buf,
+            num_workers=cfg.num_workers, mixup=cfg.mixup > 0, seed=cfg.seed,
+        ),
+        weights=weights,
+    )
+    val_loader = AudioLoader(
+        val_df,
+        LoaderConfig(
+            batch_size=cfg.batch_size, buffer_samples=buf,
+            num_workers=cfg.num_workers, drop_remainder=False,
+        ),
+        shuffle=False,
+    )
+    eval_loader = None
+    if cfg.data_eval:
+        eval_df = load_datafile(cfg.data_eval, cfg.label_csv)
+        eval_loader = AudioLoader(
+            eval_df,
+            LoaderConfig(
+                batch_size=cfg.batch_size * 2, buffer_samples=buf,
+                num_workers=cfg.num_workers, drop_remainder=False,
+            ),
+            shuffle=False,
+        )
+    return train_loader, val_loader, eval_loader
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    if not cfg.exp_dir:
+        cfg.exp_dir = (
+            f"exp/Data-{cfg.dataset}_Model-{cfg.model}_LR-{cfg.lr}"
+            f"_Epochs-{cfg.n_epochs}"
+        )
+    train_loader, val_loader, eval_loader = make_loaders(cfg)
+    trainer = Trainer(cfg, train_loader, val_loader, eval_loader)
+    trainer.train(resume=args.resume)
+    return post_training_summary(trainer, eval_loader)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)

@@ -1,0 +1,102 @@
+"""Multi-model ensemble evaluation (reference: src/ensemble/ensemble.py).
+
+Runs N checkpoints over an eval loader, writes per-model prediction CSVs,
+then scores the mean prediction matrix — the protocol behind the paper's
+headline 0.474 mAP (10-model ensemble). Model inputs can be psla_tpu orbax
+checkpoints or reference .pth files (converted on the fly, with the
+'module.'/_fc key normalization of ensemble.py:35-38 handled by
+models.convert).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from psla_tpu.metrics import calculate_stats, d_prime
+from psla_tpu.models import create_model
+from psla_tpu.models.convert import load_pth
+from psla_tpu.parallel.mesh import make_mesh, shard_batch
+from psla_tpu.train.state import TrainState
+from psla_tpu.train.step import build_eval_step
+
+
+def _load_variables(path: str, model_name: str, n_class: int):
+    if path.endswith(".pth"):
+        return load_pth(path, model_name, n_class)
+    import orbax.checkpoint as ocp
+
+    tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    if "params" in tree:
+        return {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
+    raise ValueError(f"{path}: unrecognized checkpoint layout")
+
+
+def predict(model, variables, loader, pre_config, mesh=None) -> tuple[np.ndarray, np.ndarray]:
+    """Run one model over a loader -> (predictions [N,C], targets [N,C])."""
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is None:
+        mesh = make_mesh()
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=(),
+    )
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    eval_step = build_eval_step(model, pre_config, mesh=mesh)
+    preds, targets = [], []
+    for host_batch in loader:
+        n_valid = int(host_batch["n_valid"])
+        out, _ = eval_step(state, shard_batch(host_batch, mesh))
+        preds.append(np.asarray(out)[:n_valid])
+        targets.append(host_batch["labels"][:n_valid])
+    return np.concatenate(preds), np.concatenate(targets)
+
+
+def ensemble_eval(
+    checkpoints: list[str],
+    loader,
+    pre_config,
+    model_name: str = "efficientnet",
+    n_class: int = 527,
+    eff_b: int = 2,
+    att_head: int = 4,
+    out_dir: str | None = None,
+) -> dict:
+    """Evaluate each checkpoint, then the mean of their predictions
+    (ensemble.py:52-68). Returns per-model and ensemble mAP/AUC."""
+    model = create_model(model_name, label_dim=n_class, eff_b=eff_b, head_num=att_head)
+    mesh = make_mesh()
+    summed = None
+    target = None
+    per_model = []
+    for i, ckpt in enumerate(checkpoints):
+        variables = _load_variables(ckpt, model_name, n_class)
+        pred, target = predict(model, variables, loader, pre_config, mesh)
+        stats = calculate_stats(pred, target)
+        m = float(np.mean([s["AP"] for s in stats]))
+        a = float(np.nanmean([s["auc"] for s in stats]))
+        per_model.append({"ckpt": ckpt, "mAP": m, "mAUC": a})
+        print(f"model {i} ({ckpt}): mAP {m:.6f} AUC {a:.6f}")
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            np.savetxt(
+                os.path.join(out_dir, f"predictions_{i}.csv"), pred, delimiter=","
+            )
+            if i == 0:
+                np.savetxt(os.path.join(out_dir, "target.csv"), target, delimiter=",")
+        summed = pred if summed is None else summed + pred
+
+    ensemble_pred = summed / len(checkpoints)
+    stats = calculate_stats(ensemble_pred, target)
+    m = float(np.mean([s["AP"] for s in stats]))
+    a = float(np.nanmean([s["auc"] for s in stats]))
+    print(f"ensemble of {len(checkpoints)}: mAP {m:.6f} AUC {a:.6f} "
+          f"d_prime {d_prime(a):.6f}")
+    return {"models": per_model, "ensemble": {"mAP": m, "mAUC": a}}

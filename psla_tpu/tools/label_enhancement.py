@@ -1,0 +1,206 @@
+"""Ontology-driven label enhancement (PSLA's "L").
+
+Reimplements the reference's offline label-fixing pipeline
+(src/label_enhancement/fix_type1.py, fix_type2.py, merge_type_1_2.py,
+check_label_error.py):
+
+  * Type-I error: a clip labeled with a parent class is missing a true
+    child label. Fix: add child c when the trained model's prediction
+    pred[i, c] exceeds a per-class threshold derived from the score
+    distribution on positive samples (fix_type1.py:31-81, 111-117).
+  * Type-II error: a clip labeled with a child class is missing its
+    ancestors. Fix: add ancestor a when pred[i, a] > threshold[a], with
+    ancestors from a transitive closure over the ontology's child_ids
+    (fix_type2.py:17-53, 56-106).
+  * Merge: per-sample set-union of type-1 and type-2 enhanced labels
+    (merge_type_1_2.py:25-44).
+
+Thresholds menu (both scripts): mean / median / 25th / 10th / 5th
+percentile of each class's scores over its positive samples.
+
+The AudioSet ontology JSON (632 nodes with id/child_ids/restrictions) is a
+public Google release; pass its path explicitly (the reference bundles a
+copy and partially hardcodes absolute paths, fix_type2.py:18).
+
+Deviation (deliberate): enhanced label lists are sorted for deterministic
+output; the reference serializes an unordered set (fix_type1.py:75).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from psla_tpu.data.datafiles import make_index_dict
+from psla_tpu.data.sampler import gen_weight_file
+
+# FSD50K vocabulary entries absent from the AudioSet ontology
+# (fix_type1.py:49); enhancement skips them for non-audioset datasets.
+FSD_MIDS_NOT_IN_ONTOLOGY = (
+    "/m/09l8g", "/m/0bm0k", "/t/dd00012", "/m/09hlz4", "/t/dd00071"
+)
+
+THRESHOLD_KINDS = ("mean", "median", "25", "10", "5")
+
+
+def load_ontology(path: str) -> list[dict]:
+    with open(path, encoding="utf8") as f:
+        return json.load(f)
+
+
+def child_map(ontology: list[dict]) -> dict[str, list[str]]:
+    """id -> direct child ids, skipping abstract classes
+    (fix_type1.py:18-29)."""
+    return {
+        node["id"]: list(node.get("child_ids") or [])
+        for node in ontology
+        if node.get("restrictions") != ["abstract"]
+    }
+
+
+def parent_map(ontology: list[dict]) -> dict[str, list[str]]:
+    """id -> direct parent ids (fix_type2.py:17-35 semantics)."""
+    parents: dict[str, list[str]] = {}
+    for node in ontology:
+        if node.get("restrictions") == ["abstract"]:
+            continue
+        parents.setdefault(node["id"], [])
+        for child in node.get("child_ids") or []:
+            parents.setdefault(child, []).append(node["id"])
+    return parents
+
+
+def ancestor_map(ontology: list[dict]) -> dict[str, list[str]]:
+    """id -> ALL ancestors (transitive closure; fix_type2.py:37-53)."""
+    direct = parent_map(ontology)
+    out = {}
+    for label in direct:
+        seen: set[str] = set()
+        stack = list(direct.get(label, []))
+        while stack:
+            cur = stack.pop()
+            if cur in seen:
+                continue
+            seen.add(cur)
+            stack.extend(direct.get(cur, []))
+        out[label] = sorted(seen)
+    return out
+
+
+def positive_score_thresholds(
+    pred: np.ndarray, target: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Per-class threshold menu from scores on positive samples
+    (fix_type1.py:111-117)."""
+    num_class = target.shape[1]
+    out = {k: np.zeros(num_class) for k in THRESHOLD_KINDS}
+    for c in range(num_class):
+        pos = pred[target[:, c] == 1, c]
+        if pos.size == 0:
+            for k in THRESHOLD_KINDS:
+                out[k][c] = np.inf  # never add labels for unseen classes
+            continue
+        out["mean"][c] = pos.mean()
+        out["median"][c] = np.median(pos)
+        out["25"][c] = np.percentile(pos, 25)
+        out["10"][c] = np.percentile(pos, 10)
+        out["5"][c] = np.percentile(pos, 5)
+    return out
+
+
+def enhance_labels(
+    entries: list[dict],
+    pred: np.ndarray,
+    relation: dict[str, list[str]],
+    index_dict: dict[str, int],
+    thresholds: np.ndarray,
+    dataset: str = "audioset",
+) -> tuple[list[dict], int]:
+    """Generic enhancement: for each clip label L, add related label R
+    (child for type-1, ancestor for type-2) when R is in the vocabulary,
+    not already present, and pred[i, idx(R)] > thresholds[idx(R)].
+
+    Returns (new entries, number of labels added)."""
+    skip = set() if dataset == "audioset" else set(FSD_MIDS_NOT_IN_ONTOLOGY)
+    added = 0
+    out = []
+    for i, sample in enumerate(entries):
+        labels = sample["labels"].split(",")
+        new_labels = set(labels)
+        for label in labels:
+            if label in skip:
+                continue
+            for rel in relation.get(label) or []:
+                if rel in index_dict and rel not in new_labels:
+                    idx = index_dict[rel]
+                    if pred[i, idx] > thresholds[idx]:
+                        new_labels.add(rel)
+                        added += 1
+        out.append({**sample, "labels": ",".join(sorted(new_labels))})
+    return out, added
+
+
+def merge_entries(a: list[dict], b: list[dict]) -> list[dict]:
+    """Per-sample label set-union (merge_type_1_2.py:25-44)."""
+    assert len(a) == len(b)
+    out = []
+    for ea, eb in zip(a, b):
+        union = set(ea["labels"].split(",")) | set(eb["labels"].split(","))
+        out.append({**ea, "labels": ",".join(sorted(union))})
+    return out
+
+
+def check_label_cooccurrence(
+    entries: list[dict], parent_mid: str, child_mids: list[str]
+) -> tuple[int, int]:
+    """Analysis helper (check_label_error.py): count samples having any of
+    `child_mids` and how many of those also carry `parent_mid`."""
+    with_child = with_both = 0
+    for sample in entries:
+        labels = set(sample["labels"].split(","))
+        if labels & set(child_mids):
+            with_child += 1
+            if parent_mid in labels:
+                with_both += 1
+    return with_child, with_both
+
+
+def run_enhancement(
+    datafile_json: str,
+    label_csv: str,
+    ontology_json: str,
+    pred_csv: str,
+    target_csv: str,
+    dataset: str = "audioset",
+    threshold_kinds=THRESHOLD_KINDS,
+    gen_weights: bool = True,
+) -> dict[str, dict[str, str]]:
+    """Full offline pipeline: writes *_type1_{p}.json, *_type2_{p}.json,
+    *_type1_2_{p}.json (+ weight files). Returns {kind: {p: path}}."""
+    with open(datafile_json, encoding="utf8") as f:
+        entries = json.load(f)["data"]
+    index_dict = make_index_dict(label_csv)
+    ontology = load_ontology(ontology_json)
+    children = child_map(ontology)
+    ancestors = ancestor_map(ontology)
+    pred = np.loadtxt(pred_csv, delimiter=",")
+    target = np.loadtxt(target_csv, delimiter=",")
+    thresholds = positive_score_thresholds(pred, target)
+
+    stem = datafile_json[:-5]
+    written: dict[str, dict[str, str]] = {"type1": {}, "type2": {}, "type1_2": {}}
+    for p in threshold_kinds:
+        thr = thresholds[p]
+        t1, n1 = enhance_labels(entries, pred, children, index_dict, thr, dataset)
+        t2, n2 = enhance_labels(entries, pred, ancestors, index_dict, thr, dataset)
+        merged = merge_entries(t1, t2)
+        for kind, data in (("type1", t1), ("type2", t2), ("type1_2", merged)):
+            path = f"{stem}_{kind}_{p}.json"
+            with open(path, "w") as f:
+                json.dump({"data": data}, f, indent=1)
+            written[kind][p] = path
+            if gen_weights:
+                gen_weight_file(path, label_csv)
+        print(f"threshold={p}: +{n1} type1 labels, +{n2} type2 labels")
+    return written

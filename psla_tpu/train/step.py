@@ -45,14 +45,13 @@ def _per_sample_loss(probs, targets, loss_type):
     return -jnp.take_along_axis(logp, idx[:, None], axis=1)[:, 0]
 
 
-def build_train_step(
+def make_train_step_fn(
     model,
     tx: optax.GradientTransformation,
     pre_config: PreprocessConfig,
     loss_type: str = "BCE",
-    mesh=None,
 ):
-    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+    """The pure (un-jitted) train step — also vmapped by parallel.ensemble."""
     loss_fn_final = bce_loss if loss_type == "BCE" else ce_loss
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
@@ -85,6 +84,18 @@ def build_train_step(
         metrics = {"loss": loss}
         return new_state, metrics
 
+    return train_step
+
+
+def build_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    pre_config: PreprocessConfig,
+    loss_type: str = "BCE",
+    mesh=None,
+):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+    train_step = make_train_step_fn(model, tx, pre_config, loss_type)
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)

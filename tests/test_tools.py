@@ -1,0 +1,138 @@
+"""Offline-tools tests: label enhancement semantics on a toy ontology,
+merge, threshold menu, prep resampler."""
+
+import json
+
+import numpy as np
+
+from psla_tpu.tools.label_enhancement import (
+    ancestor_map,
+    check_label_cooccurrence,
+    child_map,
+    enhance_labels,
+    merge_entries,
+    parent_map,
+    positive_score_thresholds,
+    run_enhancement,
+)
+
+# Toy ontology: root -> {speech -> {male, female}, music}; 'abstract' skipped
+ONTOLOGY = [
+    {"id": "/m/root", "child_ids": ["/m/speech", "/m/music", "/m/abs"],
+     "restrictions": []},
+    {"id": "/m/speech", "child_ids": ["/m/male", "/m/female"], "restrictions": []},
+    {"id": "/m/music", "child_ids": [], "restrictions": []},
+    {"id": "/m/male", "child_ids": [], "restrictions": []},
+    {"id": "/m/female", "child_ids": [], "restrictions": []},
+    {"id": "/m/abs", "child_ids": ["/m/male"], "restrictions": ["abstract"]},
+]
+
+VOCAB = ["/m/speech", "/m/music", "/m/male", "/m/female"]
+IDX = {m: i for i, m in enumerate(VOCAB)}
+
+
+def test_child_and_parent_maps():
+    c = child_map(ONTOLOGY)
+    assert c["/m/speech"] == ["/m/male", "/m/female"]
+    assert "/m/abs" not in c  # abstract skipped
+    p = parent_map(ONTOLOGY)
+    assert p["/m/male"] == ["/m/speech"]
+    assert p["/m/speech"] == ["/m/root"]
+    a = ancestor_map(ONTOLOGY)
+    assert set(a["/m/male"]) == {"/m/speech", "/m/root"}
+
+
+def test_threshold_menu():
+    pred = np.array([[0.9, 0.1], [0.5, 0.2], [0.1, 0.9]])
+    target = np.array([[1, 0], [1, 0], [0, 1]])
+    thr = positive_score_thresholds(pred, target)
+    assert abs(thr["mean"][0] - 0.7) < 1e-12
+    assert abs(thr["median"][0] - 0.7) < 1e-12
+    assert abs(thr["mean"][1] - 0.9) < 1e-12
+    assert thr["5"][0] <= thr["25"][0] <= thr["median"][0]
+
+
+def test_type1_adds_child_when_score_above_threshold():
+    entries = [{"wav": "a.wav", "labels": "/m/speech"}]
+    # male score 0.8 > thr 0.5 -> added; female 0.2 < 0.5 -> not
+    pred = np.array([[0.9, 0.0, 0.8, 0.2]])
+    thr = np.full(4, 0.5)
+    out, added = enhance_labels(entries, pred, child_map(ONTOLOGY), IDX, thr)
+    assert added == 1
+    assert out[0]["labels"] == "/m/male,/m/speech"
+
+
+def test_type2_adds_ancestor():
+    entries = [{"wav": "a.wav", "labels": "/m/male"}]
+    pred = np.array([[0.9, 0.0, 0.9, 0.0]])  # speech score high
+    thr = np.full(4, 0.5)
+    out, added = enhance_labels(entries, pred, ancestor_map(ONTOLOGY), IDX, thr)
+    assert added == 1
+    assert out[0]["labels"] == "/m/male,/m/speech"  # root not in vocab
+
+
+def test_fsd_exclusion_list():
+    entries = [{"wav": "a.wav", "labels": "/m/09l8g"}]
+    rel = {"/m/09l8g": ["/m/male"]}
+    pred = np.array([[0.9, 0.9, 0.9, 0.9]])
+    thr = np.zeros(4)
+    _, added_fsd = enhance_labels(entries, pred, rel, IDX, thr, dataset="fsd50k")
+    _, added_as = enhance_labels(entries, pred, rel, IDX, thr, dataset="audioset")
+    assert added_fsd == 0 and added_as == 1
+
+
+def test_merge_union():
+    a = [{"wav": "x", "labels": "/m/a,/m/b"}]
+    b = [{"wav": "x", "labels": "/m/b,/m/c"}]
+    assert merge_entries(a, b)[0]["labels"] == "/m/a,/m/b,/m/c"
+
+
+def test_cooccurrence_counter():
+    entries = [
+        {"labels": "/m/male,/m/speech"},
+        {"labels": "/m/male"},
+        {"labels": "/m/music"},
+    ]
+    with_child, with_both = check_label_cooccurrence(
+        entries, "/m/speech", ["/m/male", "/m/female"]
+    )
+    assert (with_child, with_both) == (2, 1)
+
+
+def test_run_enhancement_end_to_end(tmp_path):
+    datafile = tmp_path / "train.json"
+    entries = [
+        {"wav": "a.wav", "labels": "/m/speech"},
+        {"wav": "b.wav", "labels": "/m/male"},
+        {"wav": "c.wav", "labels": "/m/music"},
+    ]
+    datafile.write_text(json.dumps({"data": entries}))
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text(
+        "index,mid,display_name\n"
+        + "".join(f"{i},{m},n{i}\n" for i, m in enumerate(VOCAB))
+    )
+    onto = tmp_path / "ontology.json"
+    onto.write_text(json.dumps(ONTOLOGY))
+    # candidate scores (a:male=0.95, b:speech=0.95) exceed the per-class
+    # thresholds derived from positives (male thr<=0.9, speech thr<=0.9)
+    pred = np.array(
+        [[0.9, 0.05, 0.95, 0.1], [0.95, 0.05, 0.9, 0.1], [0.1, 0.9, 0.1, 0.1]]
+    )
+    target = np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0]])
+    np.savetxt(tmp_path / "pred.csv", pred, delimiter=",")
+    np.savetxt(tmp_path / "target.csv", target, delimiter=",")
+
+    written = run_enhancement(
+        str(datafile), str(label_csv), str(onto),
+        str(tmp_path / "pred.csv"), str(tmp_path / "target.csv"),
+        threshold_kinds=("mean", "5"),
+    )
+    for kind in ("type1", "type2", "type1_2"):
+        assert set(written[kind]) == {"mean", "5"}
+    enhanced = json.loads(open(written["type1_2"]["5"]).read())["data"]
+    # sample a (speech): male added via type1; sample b (male): speech via type2
+    assert "/m/male" in enhanced[0]["labels"]
+    assert "/m/speech" in enhanced[1]["labels"]
+    # weight files were generated
+    assert (tmp_path / "train_type1_mean_weight.csv").exists()
