@@ -67,7 +67,9 @@ class ExperimentConfig:
     n_print_steps: int = 100
     seed: int = 0
     dtype: str = "float32"  # or "bfloat16" for MXU throughput
-    fbank_method: str = "fft"  # or "gemm" (fused MXU path)
+    # fbank lowering: 'auto' (pallas kernel on TPU, fft elsewhere),
+    # 'fft', 'gemm', or 'pallas' — see frontend/pipeline.py.
+    fbank_method: str = "auto"
     # parallelism
     num_devices: Optional[int] = None  # None = all visible
     ensemble_size: int = 1  # >1: train E seeds over an 'ensemble' mesh axis

@@ -1,0 +1,201 @@
+// Native host-side WAV batch decoder for the psla_tpu input pipeline.
+//
+// Replaces the role of the reference's torchaudio.load / libsox C backend
+// (reference: src/dataloaders/audioset_dataset.py:91) on the host feed path.
+// Semantics match psla_tpu/data/wav.py (the pure-numpy golden):
+//   * RIFF/WAVE chunk walk, word-aligned chunks
+//   * PCM 8/16/24/32 and IEEE float32; WAVE_FORMAT_EXTENSIBLE resolved from
+//     the SubFormat GUID
+//   * normalization: i16/32768, (u8-128)/128, i24/2^23, i32/2^31
+//   * multichannel: channel 0 only (the reference always takes waveform[0])
+//
+// Each clip is decoded in ONE streaming pass that simultaneously
+//   - writes the first `buffer_samples` samples into a caller-provided
+//     zero-padded float32 buffer (the fixed-shape device feed),
+//   - accumulates the FULL-clip mean in float64 (the loader's DC-removal
+//     term, computed over all samples even when the clip is truncated),
+//   - reports the true in-buffer length.
+// The batch entry point shards clips over a std::thread pool; calls are made
+// from Python via ctypes, which releases the GIL for the whole batch.
+//
+// Build: g++ -O3 -march=native -shared -fPIC wavio.cc -o libpslawav.so
+// (see psla_tpu/data/native.py, which compiles and caches this on demand).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kOk = 0;
+constexpr int kErrOpen = -1;
+constexpr int kErrNotWave = -2;
+constexpr int kErrNoChunks = -3;
+constexpr int kErrBadFormat = -4;
+
+struct RawFile {
+  std::vector<uint8_t> bytes;
+};
+
+bool read_file(const char* path, RawFile* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < 0) {
+    std::fclose(f);
+    return false;
+  }
+  out->bytes.resize(static_cast<size_t>(size));
+  size_t got = size ? std::fread(out->bytes.data(), 1, out->bytes.size(), f) : 0;
+  std::fclose(f);
+  return got == out->bytes.size();
+}
+
+inline uint32_t rd_u32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) | (static_cast<uint32_t>(p[3]) << 24);
+}
+inline uint16_t rd_u16(const uint8_t* p) {
+  return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
+}
+
+// Decode sample i of channel 0 from the raw data chunk.
+template <typename Fn>
+void stream_samples(const uint8_t* raw, int64_t n_frames, int stride_bytes,
+                    Fn&& emit) {
+  for (int64_t i = 0; i < n_frames; ++i) emit(i, raw + i * stride_bytes);
+}
+
+int decode_one(const char* path, float* out, int64_t buffer_samples,
+               float* out_mean, int32_t* out_length, int32_t* out_rate) {
+  RawFile file;
+  if (!read_file(path, &file)) return kErrOpen;
+  const uint8_t* d = file.bytes.data();
+  const size_t n = file.bytes.size();
+  if (n < 12 || std::memcmp(d, "RIFF", 4) != 0 || std::memcmp(d + 8, "WAVE", 4) != 0)
+    return kErrNotWave;
+
+  const uint8_t* fmt = nullptr;
+  size_t fmt_size = 0;
+  const uint8_t* raw = nullptr;
+  size_t raw_size = 0;
+  size_t pos = 12;
+  while (pos + 8 <= n) {
+    const uint8_t* id = d + pos;
+    uint32_t size = rd_u32(d + pos + 4);
+    size_t body = pos + 8;
+    size_t avail = n > body ? n - body : 0;
+    size_t take = size < avail ? size : avail;
+    if (std::memcmp(id, "fmt ", 4) == 0) {
+      fmt = d + body;
+      fmt_size = take;
+    } else if (std::memcmp(id, "data", 4) == 0) {
+      raw = d + body;
+      raw_size = take;
+    }
+    pos = body + size + (size & 1);  // chunks are word-aligned
+  }
+  if (!fmt || fmt_size < 16 || !raw) return kErrNoChunks;
+
+  uint16_t format = rd_u16(fmt);
+  uint16_t channels = rd_u16(fmt + 2);
+  uint32_t rate = rd_u32(fmt + 4);
+  uint16_t bits = rd_u16(fmt + 14);
+  if (format == 0xFFFE && fmt_size >= 26) format = rd_u16(fmt + 24);
+  if (channels == 0) return kErrBadFormat;
+
+  int bytes_per_sample = bits / 8;
+  int stride = bytes_per_sample * channels;
+  if (stride == 0) return kErrBadFormat;
+  int64_t n_frames = static_cast<int64_t>(raw_size) / stride;
+  int64_t n_keep = n_frames < buffer_samples ? n_frames : buffer_samples;
+
+  double sum = 0.0;
+  auto emit = [&](int64_t i, float v) {
+    sum += v;
+    if (i < n_keep) out[i] = v;
+  };
+
+  if (format == 3 && bits == 32) {  // IEEE float
+    stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      float v;
+      std::memcpy(&v, p, 4);
+      emit(i, v);
+    });
+  } else if (format == 1 && bits == 16) {
+    stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      int16_t v = static_cast<int16_t>(rd_u16(p));
+      emit(i, static_cast<float>(v) / 32768.0f);
+    });
+  } else if (format == 1 && bits == 8) {
+    stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      emit(i, (static_cast<float>(p[0]) - 128.0f) / 128.0f);
+    });
+  } else if (format == 1 && bits == 24) {
+    stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      int32_t v = static_cast<int32_t>(p[0]) | (static_cast<int32_t>(p[1]) << 8) |
+                  (static_cast<int32_t>(p[2]) << 16);
+      if (v >= (1 << 23)) v -= (1 << 24);
+      emit(i, static_cast<float>(v) / 8388608.0f);
+    });
+  } else if (format == 1 && bits == 32) {
+    stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      int32_t v = static_cast<int32_t>(rd_u32(p));
+      emit(i, static_cast<float>(v) / 2147483648.0f);
+    });
+  } else {
+    return kErrBadFormat;
+  }
+
+  if (out_mean) *out_mean = n_frames ? static_cast<float>(sum / n_frames) : 0.0f;
+  if (out_length) *out_length = static_cast<int32_t>(n_keep);
+  if (out_rate) *out_rate = static_cast<int32_t>(rate);
+  return kOk;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one clip into a pre-zeroed float32 buffer. Returns 0 on success.
+int psla_decode_wav(const char* path, float* out, int64_t buffer_samples,
+                    float* out_mean, int32_t* out_length, int32_t* out_rate) {
+  return decode_one(path, out, buffer_samples, out_mean, out_length, out_rate);
+}
+
+// Decode a batch of clips concurrently. `out` is [n, buffer_samples] and must
+// be zero-initialized by the caller. Per-clip status codes land in `status`.
+// Returns the number of clips that failed.
+int psla_decode_batch(const char** paths, int32_t n, int64_t buffer_samples,
+                      float* out, float* means, int32_t* lengths,
+                      int32_t* status, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int32_t> next{0};
+  std::atomic<int32_t> failures{0};
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = decode_one(paths[i], out + static_cast<int64_t>(i) * buffer_samples,
+                          buffer_samples, means ? means + i : nullptr,
+                          lengths ? lengths + i : nullptr, nullptr);
+      if (status) status[i] = rc;
+      if (rc != kOk) failures.fetch_add(1);
+    }
+  };
+  int workers = n_threads < n ? n_threads : n;
+  std::vector<std::thread> pool;
+  pool.reserve(workers > 1 ? workers - 1 : 0);
+  for (int t = 1; t < workers; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+}  // extern "C"

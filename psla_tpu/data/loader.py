@@ -30,6 +30,7 @@ import numpy as np
 from psla_tpu.data.datafiles import Datafile
 from psla_tpu.data.sampler import UniformSampler, WeightedSampler
 from psla_tpu.data.wav import read_wav
+from psla_tpu.data import native
 
 
 @dataclasses.dataclass
@@ -85,6 +86,7 @@ class AudioLoader:
             self._sequential = True
         self._mix_rng = np.random.default_rng(seed + 7919)
         self._pool = ThreadPoolExecutor(max_workers=config.num_workers)
+        self._native = native.available()
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.datafile)
@@ -108,28 +110,43 @@ class AudioLoader:
         per_host = n // self.config.num_hosts if self.config.num_hosts > 1 else n
         return np.arange(per_host)
 
+    def _decode_paths(self, paths: list[str]):
+        """Batch decode: native C++ thread pool (one GIL-free ctypes call)
+        when available, numpy decode on the Python thread pool otherwise."""
+        cfg = self.config
+        if self._native:
+            return native.decode_batch(
+                paths, cfg.buffer_samples, n_threads=cfg.num_workers
+            )
+        decoded = list(self._pool.map(lambda p: _decode(p, cfg.buffer_samples), paths))
+        return (
+            np.stack([d[0] for d in decoded]),
+            np.array([d[1] for d in decoded], np.float32),
+            np.array([d[2] for d in decoded], np.int32),
+        )
+
     def _build_batch(self, idxs: np.ndarray, n_valid: int) -> dict:
         cfg = self.config
         bs = len(idxs)
-        paths = [self.datafile.wav_path(i) for i in idxs]
-        decoded = list(self._pool.map(lambda p: _decode(p, cfg.buffer_samples), paths))
+        wav, mean, length = self._decode_paths(
+            [self.datafile.wav_path(i) for i in idxs]
+        )
         batch = {
-            "wav": np.stack([d[0] for d in decoded]),
-            "wav_mean": np.array([d[1] for d in decoded], np.float32),
-            "length": np.array([d[2] for d in decoded], np.int32),
+            "wav": wav,
+            "wav_mean": mean,
+            "length": length,
             "labels": self._labels[idxs],
             "n_valid": np.int32(n_valid),
         }
         if cfg.mixup:
             mix_idxs = self._mix_rng.integers(0, len(self.datafile), size=bs)
-            mix_paths = [self.datafile.wav_path(i) for i in mix_idxs]
-            mdec = list(
-                self._pool.map(lambda p: _decode(p, cfg.buffer_samples), mix_paths)
+            mwav, mmean, mlength = self._decode_paths(
+                [self.datafile.wav_path(i) for i in mix_idxs]
             )
             batch.update(
-                mix_wav=np.stack([d[0] for d in mdec]),
-                mix_wav_mean=np.array([d[1] for d in mdec], np.float32),
-                mix_length=np.array([d[2] for d in mdec], np.int32),
+                mix_wav=mwav,
+                mix_wav_mean=mmean,
+                mix_length=mlength,
                 mix_labels=self._labels[mix_idxs],
             )
         else:

@@ -1,0 +1,160 @@
+"""ctypes bindings for the native host-runtime (csrc/wavio.cc).
+
+The C++ batch decoder replaces the per-item torchaudio.load calls the
+reference makes in its DataLoader worker processes
+(src/dataloaders/audioset_dataset.py:91): one ctypes call decodes a whole
+batch with an in-process C++ thread pool, releasing the GIL for the entire
+batch. ``psla_tpu/data/wav.py`` is the semantics golden.
+
+The shared library is compiled on demand with g++ and cached next to the
+source keyed by a source hash; if no compiler is available the loader
+transparently falls back to the numpy path (``available()`` -> False).
+Set PSLA_TPU_NO_NATIVE=1 to force the fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "csrc", "wavio.cc")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _build_dir() -> str:
+    d = os.environ.get("PSLA_TPU_BUILD_DIR")
+    if not d:
+        d = os.path.join(tempfile.gettempdir(), "psla_tpu_native")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _compile() -> str | None:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return None
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_build_dir(), f"libpslawav-{tag}.so")
+    if os.path.exists(out):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        src, "-o", tmp,
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+        os.replace(tmp, out)
+        return out
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        if os.environ.get("PSLA_TPU_NO_NATIVE"):
+            _TRIED = True
+            return None
+        path = _compile()
+        if path is not None:
+            try:
+                lib = ctypes.CDLL(path)
+                lib.psla_decode_wav.restype = ctypes.c_int
+                lib.psla_decode_wav.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
+                lib.psla_decode_batch.restype = ctypes.c_int
+                lib.psla_decode_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int32,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32,
+                ]
+                _LIB = lib
+            except OSError:
+                _LIB = None
+        _TRIED = True
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_batch(
+    paths: list[str], buffer_samples: int, n_threads: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a batch of WAVs -> (wav [B, buffer], mean [B], length [B]).
+
+    Raises RuntimeError naming the failing file(s) if any clip fails.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native wav decoder unavailable")
+    n = len(paths)
+    out = np.zeros((n, buffer_samples), dtype=np.float32)
+    means = np.zeros(n, dtype=np.float32)
+    lengths = np.zeros(n, dtype=np.int32)
+    status = np.zeros(n, dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.psla_decode_batch(
+        arr,
+        n,
+        buffer_samples,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if failures:
+        bad = [paths[i] for i in np.nonzero(status)[0][:5]]
+        raise RuntimeError(f"native wav decode failed for {failures} clips, e.g. {bad}")
+    return out, means, lengths
+
+
+def decode_one(path: str, buffer_samples: int) -> tuple[np.ndarray, float, int, int]:
+    """Decode one WAV -> (wav [buffer], full-clip mean, length, sample_rate)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native wav decoder unavailable")
+    out = np.zeros(buffer_samples, dtype=np.float32)
+    mean = ctypes.c_float()
+    length = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    rc = lib.psla_decode_wav(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        buffer_samples,
+        ctypes.byref(mean),
+        ctypes.byref(length),
+        ctypes.byref(rate),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native wav decode failed ({rc}): {path}")
+    return out, mean.value, length.value, rate.value

@@ -29,6 +29,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
@@ -36,6 +37,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -43,8 +45,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE; subformat in body[24:26]
-        audio_format = 1 if bits != 32 else 1  # treat as PCM
+    if audio_format == 0xFFFE and fmt_body is not None and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two bytes
+        # of the SubFormat GUID at offset 24 of the fmt chunk.
+        (audio_format,) = struct.unpack("<H", fmt_body[24:26])
 
     if audio_format == 3:  # IEEE float
         x = np.frombuffer(raw, dtype="<f4").astype(np.float32)

@@ -153,8 +153,16 @@ def _power_spectrum_fft(frames: jax.Array, config: FbankConfig) -> jax.Array:
 
 
 def _power_spectrum_gemm(frames: jax.Array, config: FbankConfig) -> jax.Array:
+    # HIGHEST: TPU's default f32 matmul precision (bf16 passes) costs ~1e-1
+    # absolute error in the log-mel domain; full f32 keeps parity at ~1e-4.
     a = jnp.asarray(frontend_matrix(config))
-    y = jnp.einsum("...tw,wk->...tk", frames, a, preferred_element_type=jnp.float32)
+    y = jnp.einsum(
+        "...tw,wk->...tk",
+        frames,
+        a,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     nbins = config.num_spectrum_bins
     return y[..., :nbins] ** 2 + y[..., nbins:] ** 2
 
@@ -175,7 +183,13 @@ def fbank(
     else:
         raise ValueError(f"unknown method {method!r}")
     banks = jnp.asarray(mel_banks(config))
-    mel = jnp.einsum("...tk,mk->...tm", power, banks, preferred_element_type=jnp.float32)
+    mel = jnp.einsum(
+        "...tk,mk->...tm",
+        power,
+        banks,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.log(jnp.maximum(mel, EPSILON))
 
 

@@ -28,7 +28,9 @@ class EffNetAttention(nn.Module):
     bn_momentum: float = 0.99
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_stats: bool = False):
+        """return_stats=True yields streaming pooling partial sums (see
+        pooling.py) for exact chunked long-audio inference."""
         # [B, T, F] -> [B, F, T, 1]
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         feats = EfficientNet(
@@ -53,4 +55,4 @@ class EffNetAttention(nn.Module):
                 "head_num must be >= 0 (0=mean pooling, 1=single-head, "
                 ">1=multi-head attention)"
             )
-        return pool(feats)
+        return pool(feats, return_stats=return_stats)

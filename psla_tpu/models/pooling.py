@@ -13,6 +13,16 @@ TPU-first differences:
     DenseGeneral — a single [C, H*2*n_out] GEMM on the MXU.
   * Inputs are the time-major feature sequence [B, T, C] (the reference
     carries a dummy trailing axis through Conv2d).
+
+Streaming: every head's output is a ratio of time sums,
+``sum_t att*cla / sum_t att``, so pooling decomposes exactly over time
+chunks. With ``return_stats=True`` each pool returns the partial sums
+``{"s1": [B, H, n_out], "s0": [B, H, n_out], "head_weight": [H]}``;
+summing s1/s0 over chunks and finishing with
+``einsum('bho,h->bo', s1/s0, head_weight)`` reproduces pooling over the
+concatenated sequence bit-for-bit (up to f32 summation order). This backs
+arbitrary-length inference (the reference README advertises hour-level
+audio but ships no code for it, README.md:29, 267-268).
 """
 
 from __future__ import annotations
@@ -45,7 +55,7 @@ class MultiHeadAttentionPool(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False):
         c = x.shape[-1]
         x = x.astype(self.dtype)
         # One fused projection for every head's (att, cla) pair.
@@ -60,13 +70,19 @@ class MultiHeadAttentionPool(nn.Module):
         y = nn.sigmoid(y.astype(jnp.float32))
         att, cla = y[..., 0, :], y[..., 1, :]  # [B, T, H, n_out]
         att = jnp.clip(att, EPSILON, 1.0 - EPSILON)
-        norm_att = att / jnp.sum(att, axis=1, keepdims=True)
-        per_head = jnp.sum(norm_att * cla, axis=1)  # [B, H, n_out]
         head_weight = self.param(
             "head_weight",
             lambda key, shape: jnp.full(shape, 1.0 / self.head_num, jnp.float32),
             (self.head_num,),
         )
+        if return_stats:
+            return {
+                "s1": jnp.sum(att * cla, axis=1),
+                "s0": jnp.sum(att, axis=1),
+                "head_weight": head_weight,
+            }
+        norm_att = att / jnp.sum(att, axis=1, keepdims=True)
+        per_head = jnp.sum(norm_att * cla, axis=1)  # [B, H, n_out]
         return jnp.einsum("bho,h->bo", per_head, head_weight)
 
 
@@ -77,7 +93,7 @@ class AttentionPool(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False):
         c = x.shape[-1]
         x = x.astype(self.dtype)
         y = nn.DenseGeneral(
@@ -91,6 +107,12 @@ class AttentionPool(nn.Module):
         y = nn.sigmoid(y.astype(jnp.float32))
         att, cla = y[..., 0, :], y[..., 1, :]
         att = jnp.clip(att, EPSILON, 1.0 - EPSILON)
+        if return_stats:
+            return {
+                "s1": jnp.sum(att * cla, axis=1, keepdims=True),
+                "s0": jnp.sum(att, axis=1, keepdims=True),
+                "head_weight": jnp.ones((1,), jnp.float32),
+            }
         norm_att = att / jnp.sum(att, axis=1, keepdims=True)
         return jnp.sum(norm_att * cla, axis=1)
 
@@ -102,7 +124,7 @@ class MeanPool(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False):
         c = x.shape[-1]
         y = nn.Dense(
             self.n_out,
@@ -111,4 +133,14 @@ class MeanPool(nn.Module):
             dtype=self.dtype,
             name="cla",
         )(x.astype(self.dtype))
-        return jnp.mean(nn.sigmoid(y.astype(jnp.float32)), axis=1)
+        probs = nn.sigmoid(y.astype(jnp.float32))
+        if return_stats:
+            t = x.shape[1]
+            return {
+                "s1": jnp.sum(probs, axis=1)[:, None, :],
+                "s0": jnp.full(
+                    (x.shape[0], 1, self.n_out), float(t), jnp.float32
+                ),
+                "head_weight": jnp.ones((1,), jnp.float32),
+            }
+        return jnp.mean(probs, axis=1)

@@ -110,9 +110,11 @@ class ResNetAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_stats: bool = False):
         # [B, T, F] -> [B, F, T, 1]
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         feats = ResNet50(dtype=self.dtype, name="resnet")(x, train=train)
         feats = jnp.mean(feats, axis=1)  # [B, T', 2048]
-        return AttentionPool(self.label_dim, dtype=self.dtype, name="attention")(feats)
+        return AttentionPool(self.label_dim, dtype=self.dtype, name="attention")(
+            feats, return_stats=return_stats
+        )
