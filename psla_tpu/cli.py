@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--fbank-method", choices=["auto", "fft", "gemm", "pallas"],
+                   default=None)
+    p.add_argument("--profile-steps", type=int, default=None,
+                   help="capture a jax.profiler trace of this many train "
+                        "steps into {exp_dir}/profile")
+    p.add_argument("--profile-start-step", type=int, default=None)
     return p
 
 
@@ -101,6 +107,8 @@ _ARG_TO_FIELD = {
     "freqm": "freqm", "timem": "timem", "mixup": "mixup", "noise": "noise",
     "bal": "bal", "wa": "wa", "wa_start": "wa_start", "wa_end": "wa_end",
     "save_model": "save_model", "seed": "seed", "num_devices": "num_devices",
+    "fbank_method": "fbank_method", "profile_steps": "profile_steps",
+    "profile_start_step": "profile_start_step",
 }
 
 

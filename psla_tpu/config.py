@@ -73,6 +73,12 @@ class ExperimentConfig:
     # parallelism
     num_devices: Optional[int] = None  # None = all visible
     ensemble_size: int = 1  # >1: train E seeds over an 'ensemble' mesh axis
+    # observability: capture a jax.profiler trace of training steps
+    # [profile_start_step, profile_start_step + profile_steps) into
+    # {exp_dir}/profile (SURVEY.md §5.1; the reference only has wall-clock
+    # AverageMeters, traintest.py:26-31)
+    profile_steps: int = 0
+    profile_start_step: int = 5
 
     def preprocess_config(self) -> PreprocessConfig:
         return PreprocessConfig(

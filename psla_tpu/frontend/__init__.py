@@ -16,6 +16,7 @@ from psla_tpu.frontend.augment import (  # noqa: F401
     mixup_waveforms,
     normalize,
 )
+from psla_tpu.frontend.fbank_pallas import fbank_pallas  # noqa: F401
 from psla_tpu.frontend.pipeline import (  # noqa: F401
     PreprocessConfig,
     WavBatch,

@@ -22,17 +22,21 @@ from psla_tpu.data.sampler import gen_weight_file
 from psla_tpu.data.wav import read_wav, write_wav
 
 
-def resample_to_16k(src: str, dst: str):
-    """Polyphase resampling to 16 kHz (replaces `sox src -r 16000 dst`)."""
+def resample(wav: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (replaces the reference's `sox -r` shell-out)."""
+    if sr == target_sr:
+        return np.asarray(wav, np.float32)
+    from math import gcd
+
     from scipy.signal import resample_poly
 
-    wav, sr = read_wav(src)
-    if sr != 16000:
-        from math import gcd
+    g = gcd(target_sr, sr)
+    return resample_poly(wav, target_sr // g, sr // g).astype(np.float32)
 
-        g = gcd(16000, sr)
-        wav = resample_poly(wav, 16000 // g, sr // g).astype(np.float32)
-    write_wav(dst, np.clip(wav, -1.0, 1.0), 16000)
+
+def resample_to_16k(src: str, dst: str):
+    wav, sr = read_wav(src)
+    write_wav(dst, np.clip(resample(wav, sr, 16000), -1.0, 1.0), 16000)
 
 
 def resample_dir(src_dir: str, dst_dir: str):

@@ -19,6 +19,7 @@ traintest.py:302-315); the honored flags noted in config.py.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import pickle
@@ -89,6 +90,7 @@ class Trainer:
         )
         self.rng = jax.random.PRNGKey(config.seed)
         self._ckpt = ocp.PyTreeCheckpointer()
+        self._profiling = False
 
     # ------------------------------------------------------------- state
 
@@ -159,6 +161,34 @@ class Trainer:
             state, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
         )
 
+    # ----------------------------------------------------------- profiling
+
+    def _profile_tick(self, gstep: int):
+        """Start/stop a jax.profiler trace window around the configured
+        steps (config.profile_steps / profile_start_step). Device timelines
+        land in {exp_dir}/profile for xprof/tensorboard; complements the
+        reference-style per-sample data/DNN wall-clock meters."""
+        cfg = self.config
+        if not cfg.profile_steps:
+            return
+        if not self._profiling and gstep == cfg.profile_start_step:
+            jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
+            self._profiling = True
+        elif (
+            self._profiling
+            and gstep >= cfg.profile_start_step + cfg.profile_steps
+        ):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.config = dataclasses.replace(cfg, profile_steps=0)
+
+    def _profile_flush(self):
+        """Close a still-open trace window (short epochs / early return)."""
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.config = dataclasses.replace(self.config, profile_steps=0)
+
     def _progress_path(self):
         return os.path.join(self.exp_dir, "progress.json")
 
@@ -220,6 +250,7 @@ class Trainer:
                 batch = shard_batch(host_batch, self.mesh)
                 data_t = time.time() - end_time
                 dnn_start = time.time()
+                self._profile_tick(int(state.step))
                 state, metrics = self.train_step(state, batch, rng)
                 loss = float(metrics["loss"])
                 now = time.time()
@@ -241,6 +272,7 @@ class Trainer:
                         print("training diverged...")
                         return state
                 end_time = time.time()
+            self._profile_flush()
 
             # ---------------- validation + artifacts (traintest.py:136-200)
             stats, valid_loss = self.validate(state, self.val_loader, epoch)
