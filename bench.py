@@ -22,8 +22,8 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC_PER_GPU = 2_000_000 * 30 / (7 * 24 * 3600) / 4
 
 
-def _make_batch(batch_size: int, pre):
-    rng = np.random.RandomState(0)
+def _make_batch(batch_size: int, pre, seed: int = 0):
+    rng = np.random.RandomState(seed)
     n = pre.fbank.buffer_length(pre.target_length)
     wav = (0.05 * rng.randn(batch_size, n)).astype(np.float32)
     labels = (rng.rand(batch_size, 527) < 0.01).astype(np.float32)
@@ -71,17 +71,21 @@ def run(batch_size: int = 64, steps: int = 10):
     )
     step_fn = build_train_step(model, tx, pre, cfg.loss, mesh=None)
 
-    batch = jax.device_put(_make_batch(batch_size, pre))
+    # rotate distinct batches so no runtime layer can dedupe identical
+    # dispatches (observed with the remote-tunnel backend)
+    batches = [
+        jax.device_put(_make_batch(batch_size, pre, seed)) for seed in range(2)
+    ]
     rng = jax.random.PRNGKey(1)
 
     # compile + warmup
-    for _ in range(3):
-        state, metrics = step_fn(state, batch, rng)
+    for i in range(3):
+        state, metrics = step_fn(state, batches[i % 2], rng)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step_fn(state, batch, rng)
+    for i in range(steps):
+        state, metrics = step_fn(state, batches[i % 2], rng)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 

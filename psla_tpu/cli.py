@@ -122,6 +122,9 @@ def config_from_args(args) -> ExperimentConfig:
 
 
 def make_loaders(cfg: ExperimentConfig):
+    from psla_tpu.parallel.distributed import process_info
+
+    host_id, num_hosts = process_info()
     pre = cfg.preprocess_config()
     buf = pre.fbank.buffer_length(cfg.target_length)
     train_df = load_datafile(cfg.data_train, cfg.label_csv)
@@ -135,6 +138,7 @@ def make_loaders(cfg: ExperimentConfig):
         LoaderConfig(
             batch_size=cfg.batch_size, buffer_samples=buf,
             num_workers=cfg.num_workers, mixup=cfg.mixup > 0, seed=cfg.seed,
+            host_id=host_id, num_hosts=num_hosts,
         ),
         weights=weights,
     )
@@ -143,6 +147,7 @@ def make_loaders(cfg: ExperimentConfig):
         LoaderConfig(
             batch_size=cfg.batch_size, buffer_samples=buf,
             num_workers=cfg.num_workers, drop_remainder=False,
+            host_id=host_id, num_hosts=num_hosts,
         ),
         shuffle=False,
     )
@@ -154,6 +159,7 @@ def make_loaders(cfg: ExperimentConfig):
             LoaderConfig(
                 batch_size=cfg.batch_size * 2, buffer_samples=buf,
                 num_workers=cfg.num_workers, drop_remainder=False,
+                host_id=host_id, num_hosts=num_hosts,
             ),
             shuffle=False,
         )
@@ -161,6 +167,9 @@ def make_loaders(cfg: ExperimentConfig):
 
 
 def main(argv=None):
+    from psla_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # no-op unless launched on a pod / with a coordinator
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     if not cfg.exp_dir:

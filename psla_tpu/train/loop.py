@@ -36,7 +36,12 @@ from psla_tpu.data.loader import AudioLoader
 from psla_tpu.metrics import calculate_stats, d_prime
 from psla_tpu.models import create_model
 from psla_tpu.models.convert import load_pth
-from psla_tpu.parallel.mesh import make_mesh, shard_batch
+from psla_tpu.parallel.distributed import (
+    allgather_host,
+    is_primary,
+    make_global_batch,
+)
+from psla_tpu.parallel.mesh import make_mesh
 from psla_tpu.train.meters import AverageMeter
 from psla_tpu.train.optim import make_optimizer, psla_lr_schedule
 from psla_tpu.train.state import TrainState
@@ -247,7 +252,7 @@ class Trainer:
             end_time = time.time()
             for i, host_batch in enumerate(self.train_loader):
                 bs = int(host_batch["n_valid"])
-                batch = shard_batch(host_batch, self.mesh)
+                batch = make_global_batch(host_batch, self.mesh)
                 data_t = time.time() - end_time
                 dnn_start = time.time()
                 self._profile_tick(int(state.step))
@@ -344,32 +349,53 @@ class Trainer:
 
         Loss is the mean of per-sample losses (the reference averages
         per-batch means; identical for equal batch sizes)."""
+        multihost = jax.process_count() > 1
         preds, targets, losses = [], [], []
         for host_batch in loader:
             n_valid = int(host_batch["n_valid"])
-            batch = shard_batch(host_batch, self.mesh)
+            batch = make_global_batch(host_batch, self.mesh)
             out, per_sample = self.eval_step(state, batch)
-            preds.append(np.asarray(out)[:n_valid])
-            targets.append(host_batch["labels"][:n_valid])
-            losses.append(np.asarray(per_sample)[:n_valid])
+            if multihost:
+                # gather the full eval shard set; drop each host's padded
+                # tail rows via a mask that travels the same global-array
+                # path as the outputs (so row order is consistent)
+                local_mask = np.zeros(len(host_batch["wav"]), bool)
+                local_mask[:n_valid] = True
+                data_sh = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec("data")
+                )
+                gmask = allgather_host(
+                    jax.make_array_from_process_local_data(data_sh, local_mask)
+                )
+                out = allgather_host(out)[gmask]
+                tgt = allgather_host(batch["labels"])[gmask]
+                per_sample = allgather_host(per_sample)[gmask]
+                preds.append(out)
+                targets.append(tgt)
+                losses.append(per_sample)
+            else:
+                preds.append(np.asarray(out)[:n_valid])
+                targets.append(host_batch["labels"][:n_valid])
+                losses.append(np.asarray(per_sample)[:n_valid])
         output = np.concatenate(preds)
         target = np.concatenate(targets)
         loss = float(np.mean(np.concatenate(losses)))
         stats = calculate_stats(output, target)
 
-        pred_dir = os.path.join(self.exp_dir, "predictions")
-        target_csv = os.path.join(pred_dir, "target.csv")
-        if not os.path.exists(target_csv):
-            np.savetxt(target_csv, target, delimiter=",")
-        np.savetxt(
-            os.path.join(pred_dir, f"predictions_{epoch}.csv"),
-            output,
-            delimiter=",",
-        )
-        if eval_target:
-            eval_csv = os.path.join(pred_dir, "eval_target.csv")
-            if not os.path.exists(eval_csv):
-                np.savetxt(eval_csv, target, delimiter=",")
+        if is_primary():
+            pred_dir = os.path.join(self.exp_dir, "predictions")
+            target_csv = os.path.join(pred_dir, "target.csv")
+            if not os.path.exists(target_csv):
+                np.savetxt(target_csv, target, delimiter=",")
+            np.savetxt(
+                os.path.join(pred_dir, f"predictions_{epoch}.csv"),
+                output,
+                delimiter=",",
+            )
+            if eval_target:
+                eval_csv = os.path.join(pred_dir, "eval_target.csv")
+                if not os.path.exists(eval_csv):
+                    np.savetxt(eval_csv, target, delimiter=",")
         return stats, loss
 
     def validate_ensemble(self, epoch: int):
