@@ -98,15 +98,8 @@ def _attention_head(params: dict, sd: dict, prefix: str, label_dim: int):
         _set(params, ("attention", "cla", "bias"), sd[f"{prefix}.cla.bias"])
 
 
-def convert_effnet_attention(
-    state_dict: Mapping[str, Any], label_dim: int
-) -> dict[str, dict]:
-    """EffNetAttention .pth state_dict -> flax variables."""
-    sd = normalize_state_dict(state_dict)
-    params: dict = {}
-    stats: dict = {}
-    eff = ("effnet",)
-
+def _convert_effnet_backbone(sd: dict, params: dict, stats: dict, eff=("effnet",)):
+    """Shared efficientnet_pytorch backbone mapping (stem/blocks/head)."""
     _set(params, eff + ("stem", "conv", "kernel"), _conv(sd["effnet._conv_stem.weight"]))
     _bn(params, stats, eff + ("stem", "bn"), sd, "effnet._bn0")
 
@@ -138,8 +131,70 @@ def convert_effnet_attention(
     _set(params, eff + ("head", "conv", "kernel"), _conv(sd["effnet._conv_head.weight"]))
     _bn(params, stats, eff + ("head", "bn"), sd, "effnet._bn1")
 
+
+def convert_effnet_attention(
+    state_dict: Mapping[str, Any], label_dim: int
+) -> dict[str, dict]:
+    """EffNetAttention .pth state_dict -> flax variables."""
+    sd = normalize_state_dict(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    _convert_effnet_backbone(sd, params, stats)
     _attention_head(params, sd, "attention", label_dim)
     return {"params": params, "batch_stats": stats}
+
+
+def convert_imagenet_backbone(
+    state_dict: Mapping[str, Any],
+    init_variables: Mapping[str, Any],
+    stem: str = "sum",
+) -> dict[str, dict]:
+    """ImageNet efficientnet_pytorch weights -> flax variables for
+    EffNetAttention — the ``--impretrain True`` path (Models.py:69-72,
+    PSLA's "P": ImageNet pretraining is worth several mAP points).
+
+    The ImageNet checkpoint has a 3-channel stem and an ``_fc`` classifier;
+    the pooling head comes from ``init_variables`` (a fresh model.init).
+    ``stem='sum'`` collapses RGB stem filters by summation — a grayscale
+    input then produces the same stem response as the RGB-replicated image;
+    ``stem='random'`` keeps the fresh init's stem, reproducing
+    efficientnet_pytorch's ``_change_in_channels`` behavior (which discards
+    the pretrained stem for in_channels=1) exactly.
+    """
+    sd = normalize_state_dict(state_dict)
+    # raw efficientnet_pytorch checkpoints name keys `_conv_stem.*` etc.;
+    # PSLA's wrapped model prefixes them with `effnet.`
+    if not any(k.startswith("effnet.") for k in sd):
+        sd = {f"effnet.{k}": v for k, v in sd.items()}
+    stem_w = np.asarray(sd["effnet._conv_stem.weight"])
+    if stem_w.shape[1] == 3:
+        if stem == "sum":
+            sd["effnet._conv_stem.weight"] = stem_w.sum(axis=1, keepdims=True)
+        elif stem == "random":
+            pass  # overwritten below by the fresh init value
+        else:
+            raise ValueError(f"unknown stem strategy {stem!r}")
+    params: dict = {}
+    stats: dict = {}
+    _convert_effnet_backbone(sd, params, stats)
+    if stem == "random" and stem_w.shape[1] == 3:
+        params["effnet"]["stem"]["conv"]["kernel"] = np.asarray(
+            init_variables["params"]["effnet"]["stem"]["conv"]["kernel"]
+        )
+
+    def merge(init_tree, over):
+        out = dict(init_tree)
+        for k, v in over.items():
+            if isinstance(v, dict) and isinstance(out.get(k), Mapping):
+                out[k] = merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    return {
+        "params": merge(init_variables["params"], params),
+        "batch_stats": merge(init_variables.get("batch_stats", {}), stats),
+    }
 
 
 def convert_resnet_attention(

@@ -122,7 +122,32 @@ class Trainer:
 
     def _load_pretrained(self, path: str, init_params):
         if path.endswith(".pth"):
-            variables = load_pth(path, self.config.model, self.config.n_class)
+            import torch
+
+            from psla_tpu.models.convert import (
+                convert_imagenet_backbone,
+                normalize_state_dict,
+            )
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            has_head = any(
+                "attention" in k for k in normalize_state_dict(sd)
+            )
+            if self.config.model == "efficientnet" and not has_head:
+                # ImageNet backbone-only checkpoint (PSLA's "P"): pretrained
+                # effnet + fresh pooling head from the model init
+                example = jnp.zeros(
+                    (1, self.config.target_length, self.config.num_mel_bins),
+                    jnp.float32,
+                )
+                init_vars = self.model.init(
+                    jax.random.PRNGKey(self.config.seed), example, train=False
+                )
+                variables = convert_imagenet_backbone(sd, init_vars)
+            else:
+                variables = load_pth(
+                    path, self.config.model, self.config.n_class
+                )
         else:
             variables = self._ckpt.restore(os.path.abspath(path))
             if "params" not in variables:

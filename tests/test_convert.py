@@ -183,3 +183,61 @@ def test_same_padding_matches_torch_static_same():
     )
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, expected, rtol=0, atol=1e-5)
+
+
+def _imagenet_state_dict(b: int, rng):
+    """Raw efficientnet_pytorch ImageNet-style state_dict: 3-channel stem,
+    _fc classifier, NO attention keys, NO 'effnet.'/'module.' prefixes."""
+    sd = _effnet_state_dict(b, 11, 4, rng)
+    out = {}
+    for k, v in sd.items():
+        if "attention" in k:
+            continue
+        out[k.replace("module.effnet.", "")] = v
+    stem = out["_conv_stem.weight"]
+    out["_conv_stem.weight"] = rng.randn(
+        stem.shape[0], 3, stem.shape[2], stem.shape[3]
+    ).astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize("stem", ["sum", "random"])
+def test_imagenet_backbone_conversion(stem):
+    """--impretrain path: ImageNet 3-channel backbone + fresh pooling head
+    (Models.py:69-72; PSLA's 'P')."""
+    from psla_tpu.models.convert import convert_imagenet_backbone
+
+    rng = np.random.RandomState(1)
+    model = EffNetAttention(label_dim=11, b=0, head_num=4)
+    init_vars = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128)), train=False
+    )
+    sd = _imagenet_state_dict(0, rng)
+    variables = convert_imagenet_backbone(sd, init_vars, stem=stem)
+
+    ref_spec = {
+        col: _tree_spec(jax.tree.map(np.asarray, dict(tree)))
+        for col, tree in init_vars.items()
+    }
+    got_spec = {col: _tree_spec(tree) for col, tree in variables.items()}
+    assert got_spec == ref_spec
+
+    got_stem = variables["params"]["effnet"]["stem"]["conv"]["kernel"]
+    if stem == "sum":
+        # HWIO with I=1: collapse of the synthetic RGB stem by summation
+        expect = np.transpose(sd["_conv_stem.weight"], (2, 3, 1, 0)).sum(
+            2, keepdims=True
+        )
+        np.testing.assert_allclose(got_stem, expect, rtol=1e-6)
+    else:
+        np.testing.assert_array_equal(
+            got_stem,
+            np.asarray(init_vars["params"]["effnet"]["stem"]["conv"]["kernel"]),
+        )
+    # pooling head untouched from init
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["attention"]["head_weight"]),
+        np.asarray(init_vars["params"]["attention"]["head_weight"]),
+    )
+    out = model.apply(variables, jnp.ones((1, 128, 128)) * 0.1, train=False)
+    assert out.shape == (1, 11) and np.all(np.isfinite(np.asarray(out)))
