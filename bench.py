@@ -40,7 +40,17 @@ def _make_batch(batch_size: int, pre, seed: int = 0):
     }
 
 
-def run(batch_size: int = 64, steps: int = 10):
+def run(batch_size: int = 64, steps: int = 40):
+    """Times `steps` train steps executed ON DEVICE inside one lax.scan
+    program (two alternating data batches; RNG folded per step). A single
+    dispatch per measurement makes the number robust to host<->device
+    round-trip latency and to any runtime-level deduplication of repeated
+    dispatches — both observed to corrupt per-dispatch timing on the
+    tunneled backend. The dispatch overhead itself is removed by
+    differencing a short and a long scan.
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +58,7 @@ def run(batch_size: int = 64, steps: int = 10):
     from psla_tpu.models import create_model
     from psla_tpu.train.optim import make_optimizer, psla_lr_schedule
     from psla_tpu.train.state import TrainState
-    from psla_tpu.train.step import build_train_step
+    from psla_tpu.train.step import make_train_step_fn
 
     cfg = ExperimentConfig(dtype="bfloat16", batch_size=batch_size)
     pre = cfg.preprocess_config()
@@ -69,28 +79,46 @@ def run(batch_size: int = 64, steps: int = 10):
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
     )
-    step_fn = build_train_step(model, tx, pre, cfg.loss, mesh=None)
+    step_fn = make_train_step_fn(model, tx, pre, cfg.loss)
 
-    # rotate distinct batches so no runtime layer can dedupe identical
-    # dispatches (observed with the remote-tunnel backend)
-    batches = [
-        jax.device_put(_make_batch(batch_size, pre, seed)) for seed in range(2)
-    ]
+    stacked = jax.device_put(
+        jax.tree.map(
+            lambda *xs: np.stack(xs),
+            _make_batch(batch_size, pre, 0),
+            _make_batch(batch_size, pre, 1),
+        )
+    )
     rng = jax.random.PRNGKey(1)
 
-    # compile + warmup
-    for i in range(3):
-        state, metrics = step_fn(state, batches[i % 2], rng)
-    jax.block_until_ready(metrics["loss"])
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def multi_step(state, stacked, rng, n):
+        def body(state, i):
+            batch = jax.tree.map(lambda x: x[i % 2], stacked)
+            state, metrics = step_fn(state, batch, rng)
+            return state, metrics["loss"]
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step_fn(state, batches[i % 2], rng)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+        return jax.lax.scan(body, state, jnp.arange(n))
 
-    clips_per_sec = batch_size * steps / dt
-    return clips_per_sec, float(metrics["loss"])
+    short = max(2, steps // 8)
+
+    def timed(n, st):
+        t0 = time.perf_counter()
+        st, losses = multi_step(st, stacked, rng, n)
+        # synchronize by TRANSFER: on the tunneled backend
+        # block_until_ready resolves lazily and under-measures; fetching a
+        # scalar that data-depends on every step cannot
+        last = float(jnp.sum(losses))
+        return time.perf_counter() - t0, st, last
+
+    # compile both program sizes
+    _, state, _ = timed(short, state)
+    _, state, _ = timed(steps, state)
+    t_short, state, _ = timed(short, state)
+    t_long, state, loss_sum = timed(steps, state)
+
+    dt_per_step = (t_long - t_short) / (steps - short)
+    clips_per_sec = batch_size / dt_per_step
+    return clips_per_sec, loss_sum / steps
 
 
 def run_fbank(batch_size: int = 128, steps: int = 60):
@@ -112,16 +140,34 @@ def run_fbank(batch_size: int = 128, steps: int = 60):
     target = 1056
     need = cfg.buffer_length(target)
     rng = np.random.RandomState(0)
-    wavs = [
-        jnp.asarray((0.1 * rng.randn(batch_size, need)).astype(np.float32))
-        for _ in range(4)
-    ]
+    wavs = jnp.asarray(
+        (0.1 * rng.randn(4, batch_size, need)).astype(np.float32)
+    )
     lengths = jnp.full((batch_size,), need, jnp.int32)
-    fn = lambda w: fbank_pallas(w, lengths, config=cfg, target_frames=target)
-    jax.block_until_ready([fn(w) for w in wavs])
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def multi(wavs, n):
+        # on-device loop: one dispatch, robust to tunnel latency/dedup
+        def body(acc, i):
+            out = fbank_pallas(
+                wavs[i % 4], lengths, config=cfg, target_frames=target
+            )
+            return acc + out.mean(), None
+
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0]
+
+    short = max(2, steps // 8)
+    float(multi(wavs, short))  # sync by transfer (see run())
+    float(multi(wavs, steps))
     t0 = time.perf_counter()
-    jax.block_until_ready([fn(wavs[i % 4]) for i in range(steps)])
-    dt = (time.perf_counter() - t0) / steps
+    float(multi(wavs, short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(multi(wavs, steps))
+    t_long = time.perf_counter() - t0
+    dt = (t_long - t_short) / (steps - short)
     clips = batch_size / dt
     ref_cpu_loader = 3200.0
     print(

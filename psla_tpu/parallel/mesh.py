@@ -58,6 +58,16 @@ def ensemble_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch (dict of numpy arrays) onto the mesh, batch-dim
     sharded over 'data'. Scalars are replicated."""
+    data_size = mesh.shape["data"]
+    rows = next(
+        np.asarray(v).shape[0] for v in batch.values() if np.ndim(v) > 0
+    )
+    if rows % data_size:
+        raise ValueError(
+            f"batch size {rows} is not divisible by the {data_size}-device "
+            f"'data' mesh axis; pick a batch size that is a multiple of the "
+            f"device count"
+        )
     data_sh = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
 

@@ -100,3 +100,54 @@ def ensemble_eval(
     print(f"ensemble of {len(checkpoints)}: mAP {m:.6f} AUC {a:.6f} "
           f"d_prime {d_prime(a):.6f}")
     return {"models": per_model, "ensemble": {"mAP": m, "mAUC": a}}
+
+
+def main(argv=None):
+    """CLI: evaluate checkpoints on an eval datafile (reference runs these
+    as standalone scripts, src/ensemble/)."""
+    import argparse
+
+    from psla_tpu.config import from_preset, ExperimentConfig, PRESETS
+    from psla_tpu.data.datafiles import load_datafile
+    from psla_tpu.data.loader import AudioLoader, LoaderConfig
+
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoints", nargs="+",
+                   help="orbax checkpoint dirs or reference .pth files")
+    p.add_argument("--data-eval", required=True)
+    p.add_argument("--label-csv", required=True)
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--model", default="efficientnet")
+    p.add_argument("--eff_b", type=int, default=2)
+    p.add_argument("--att_head", type=int, default=4)
+    p.add_argument("--n_class", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--target_length", type=int, default=None)
+    p.add_argument("--out-dir", default=None)
+    args = p.parse_args(argv)
+
+    cfg = from_preset(args.preset) if args.preset else ExperimentConfig()
+    n_class = args.n_class or cfg.n_class
+    if args.target_length:
+        cfg = __import__("dataclasses").replace(cfg, target_length=args.target_length)
+    pre = cfg.preprocess_config().eval_variant()
+    df = load_datafile(args.data_eval, args.label_csv)
+    loader = AudioLoader(
+        df,
+        LoaderConfig(
+            batch_size=args.batch_size or cfg.batch_size,
+            buffer_samples=pre.fbank.buffer_length(cfg.target_length),
+            drop_remainder=False,
+        ),
+        shuffle=False,
+    )
+    res = ensemble_eval(
+        args.checkpoints, loader, pre, model_name=args.model,
+        n_class=n_class, eff_b=args.eff_b, att_head=args.att_head,
+        out_dir=args.out_dir,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -204,3 +204,37 @@ def run_enhancement(
                 gen_weight_file(path, label_csv)
         print(f"threshold={p}: +{n1} type1 labels, +{n2} type2 labels")
     return written
+
+
+def main(argv=None):
+    """CLI: full offline enhancement (fix_type1 + fix_type2 + merge).
+
+    python -m psla_tpu.tools.label_enhancement \
+        --datafile tr.json --label-csv labels.csv --ontology ontology.json \
+        --pred exp/.../predictions/predictions.csv \
+        --target exp/.../predictions/target.csv --dataset fsd50k
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--datafile", required=True)
+    p.add_argument("--label-csv", required=True)
+    p.add_argument("--ontology", required=True,
+                   help="AudioSet ontology.json (public Google release)")
+    p.add_argument("--pred", required=True,
+                   help="model predictions CSV on the TRAIN set")
+    p.add_argument("--target", required=True, help="target CSV (multi-hot)")
+    p.add_argument("--dataset", default="audioset")
+    p.add_argument("--thresholds", nargs="+", default=list(THRESHOLD_KINDS))
+    p.add_argument("--no-weights", action="store_true")
+    args = p.parse_args(argv)
+    run_enhancement(
+        args.datafile, args.label_csv, args.ontology, args.pred, args.target,
+        dataset=args.dataset, threshold_kinds=tuple(args.thresholds),
+        gen_weights=not args.no_weights,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,3 +48,52 @@ def weight_average_eval(
     a = float(np.nanmean([s["auc"] for s in stats]))
     print(f"weight-averaged {len(checkpoints)} ckpts: mAP {m:.6f} AUC {a:.6f}")
     return {"mAP": m, "mAUC": a, "variables": variables}
+
+
+def main(argv=None):
+    """CLI: evaluate checkpoints on an eval datafile (reference runs these
+    as standalone scripts, src/ensemble/)."""
+    import argparse
+
+    from psla_tpu.config import from_preset, ExperimentConfig, PRESETS
+    from psla_tpu.data.datafiles import load_datafile
+    from psla_tpu.data.loader import AudioLoader, LoaderConfig
+
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoints", nargs="+",
+                   help="orbax checkpoint dirs or reference .pth files")
+    p.add_argument("--data-eval", required=True)
+    p.add_argument("--label-csv", required=True)
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--model", default="efficientnet")
+    p.add_argument("--eff_b", type=int, default=2)
+    p.add_argument("--att_head", type=int, default=4)
+    p.add_argument("--n_class", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--target_length", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = from_preset(args.preset) if args.preset else ExperimentConfig()
+    n_class = args.n_class or cfg.n_class
+    if args.target_length:
+        cfg = __import__("dataclasses").replace(cfg, target_length=args.target_length)
+    pre = cfg.preprocess_config().eval_variant()
+    df = load_datafile(args.data_eval, args.label_csv)
+    loader = AudioLoader(
+        df,
+        LoaderConfig(
+            batch_size=args.batch_size or cfg.batch_size,
+            buffer_samples=pre.fbank.buffer_length(cfg.target_length),
+            drop_remainder=False,
+        ),
+        shuffle=False,
+    )
+    res = weight_average_eval(
+        args.checkpoints, loader, pre, model_name=args.model,
+        n_class=n_class, eff_b=args.eff_b, att_head=args.att_head,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -136,3 +136,46 @@ def test_run_enhancement_end_to_end(tmp_path):
     assert "/m/speech" in enhanced[1]["labels"]
     # weight files were generated
     assert (tmp_path / "train_type1_mean_weight.csv").exists()
+
+
+def test_ensemble_cli_main(tmp_path):
+    """Drive the standalone ensemble CLI end-to-end on two tiny ckpts."""
+    import orbax.checkpoint as ocp
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.data.wav import write_wav
+    from psla_tpu.models import create_model
+    from psla_tpu.tools import ensemble as ens_tool
+
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text("index,mid,display_name\n0,/m/0,a\n1,/m/1,b\n")
+    entries = []
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, rng.standard_normal(8000) * 0.2, 16000)
+        entries.append({"wav": p, "labels": "/m/0" if i % 2 else "/m/1"})
+    df_path = tmp_path / "eval.json"
+    df_path.write_text(json.dumps({"data": entries}))
+
+    model = create_model("efficientnet", label_dim=2, eff_b=0, head_num=4)
+    ckpts = []
+    for s in range(2):
+        v = model.init(jax.random.PRNGKey(s), jnp.zeros((1, 64, 128)), train=False)
+        d = str(tmp_path / f"ckpt{s}")
+        ocp.PyTreeCheckpointer().save(
+            d, {"params": jax.tree.map(np.asarray, v["params"]),
+                "batch_stats": jax.tree.map(np.asarray, v["batch_stats"])}
+        )
+        ckpts.append(d)
+
+    rc = ens_tool.main(
+        ckpts
+        + ["--data-eval", str(df_path), "--label-csv", str(label_csv),
+           "--eff_b", "0", "--n_class", "2", "--batch-size", "8",
+           "--target_length", "64", "--out-dir", str(tmp_path / "preds")]
+    )
+    assert rc == 0
+    assert (tmp_path / "preds" / "predictions_1.csv").exists()
+    assert (tmp_path / "preds" / "target.csv").exists()
