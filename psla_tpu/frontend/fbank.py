@@ -47,6 +47,20 @@ class FbankConfig:
     remove_dc_offset: bool = True
     low_freq: float = 20.0
     high_freq: float = 0.0  # <=0 means nyquist + high_freq
+    # MXU passes for the f32 DFT/mel matmuls: 'highest' (6-pass, ~1.1e-4 vs
+    # golden), 'high' (3-pass), 'default' (single bf16 pass, ~1e-1 error —
+    # do not use for parity work).
+    precision: str = "highest"
+
+    @property
+    def matmul_precision(self):
+        import jax
+
+        return {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[self.precision]
 
     @property
     def window_size(self) -> int:
@@ -161,7 +175,7 @@ def _power_spectrum_gemm(frames: jax.Array, config: FbankConfig) -> jax.Array:
         frames,
         a,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=config.matmul_precision,
     )
     nbins = config.num_spectrum_bins
     return y[..., :nbins] ** 2 + y[..., nbins:] ** 2
@@ -188,7 +202,7 @@ def fbank(
         power,
         banks,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=config.matmul_precision,
     )
     return jnp.log(jnp.maximum(mel, EPSILON))
 

@@ -95,6 +95,7 @@ def _fbank_kernel(
     n_parts: int,
     pb: int,
     slack: int,
+    precision,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -108,8 +109,9 @@ def _fbank_kernel(
     copy.start()
     copy.wait()
 
-    # HIGHEST: full-f32 MXU passes — default (bf16) costs ~1e-1 log-mel error.
-    hi = jax.lax.Precision.HIGHEST
+    # full-f32 (or 3-pass) MXU passes — single-pass bf16 costs ~1e-1
+    # log-mel error (see FbankConfig.precision)
+    hi = precision
     y = jnp.dot(
         rows_ref[0:tile], a_ref[0], preferred_element_type=jnp.float32, precision=hi
     )
@@ -202,8 +204,13 @@ def fbank_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    precision = config.matmul_precision
+    if precision == jax.lax.Precision.HIGH:
+        # Mosaic dots support only DEFAULT/HIGHEST; round 'high' up.
+        precision = jax.lax.Precision.HIGHEST
     kernel = functools.partial(
-        _fbank_kernel, tile=tile, n_parts=n_parts, pb=pb, slack=slack
+        _fbank_kernel, tile=tile, n_parts=n_parts, pb=pb, slack=slack,
+        precision=precision,
     )
     out = pl.pallas_call(
         kernel,

@@ -85,11 +85,16 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # BN computes in the activation dtype (bf16 keeps the whole
+        # inter-conv activation stream half-width — HBM traffic dominates
+        # this net at audio resolutions); flax always computes the batch
+        # statistics themselves in float32, and params/running stats stay
+        # float32 via param_dtype.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             name="bn",
         )(x)
         if self.act == "silu":
