@@ -109,23 +109,33 @@ def _fbank_kernel(
     copy.start()
     copy.wait()
 
-    # full-f32 (or 3-pass) MXU passes — single-pass bf16 costs ~1e-1
-    # log-mel error (see FbankConfig.precision)
-    hi = precision
-    y = jnp.dot(
-        rows_ref[0:tile], a_ref[0], preferred_element_type=jnp.float32, precision=hi
-    )
-    for p in range(1, n_parts):
-        y = y + jnp.dot(
-            rows_ref[p : p + tile],
-            a_ref[p],
-            preferred_element_type=jnp.float32,
-            precision=hi,
+    def mm(x, w):
+        """f32 matmul at the configured cost/accuracy point.
+
+        'highest': Mosaic's 6-pass full-f32 MXU product (~1.1e-4 log-mel
+        parity). 'x3': bf16x3 split-product — x = hi(x)+lo(x), w =
+        hi(w)+lo(w), dropping the lo*lo term: three single-pass bf16
+        matmuls for ~f32-grade accuracy at half the HIGHEST cost (Mosaic
+        has no native 3-pass HIGH dot).
+        """
+        if precision == "x3":
+            xh = x.astype(jnp.bfloat16)
+            xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            wh = w.astype(jnp.bfloat16)
+            wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            dot = functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32
+            )
+            return dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
+        return jnp.dot(
+            x, w, preferred_element_type=jnp.float32, precision=precision
         )
+
+    y = mm(rows_ref[0:tile], a_ref[0])
+    for p in range(1, n_parts):
+        y = y + mm(rows_ref[p : p + tile], a_ref[p])
     power = y[:, :pb] ** 2 + y[:, pb:] ** 2
-    mel = jnp.dot(
-        power, banks_ref[:], preferred_element_type=jnp.float32, precision=hi
-    )
+    mel = mm(power, banks_ref[:])
     logmel = jnp.log(jnp.maximum(mel, EPSILON))
 
     frame_idx = base + jax.lax.broadcasted_iota(jnp.int32, logmel.shape, 0)
@@ -206,8 +216,8 @@ def fbank_pallas(
     )
     precision = config.matmul_precision
     if precision == jax.lax.Precision.HIGH:
-        # Mosaic dots support only DEFAULT/HIGHEST; round 'high' up.
-        precision = jax.lax.Precision.HIGHEST
+        # Mosaic has no 3-pass HIGH dot; use the explicit bf16x3 split.
+        precision = "x3"
     kernel = functools.partial(
         _fbank_kernel, tile=tile, n_parts=n_parts, pb=pb, slack=slack,
         precision=precision,
