@@ -51,13 +51,17 @@ def _chunk_logmel(wav, wav_mean, lengths, config: PreprocessConfig):
 def aggregate_stats(stats: dict) -> jax.Array:
     """Combine per-chunk pooling stats -> [n_class] probabilities.
 
-    stats fields are stacked over a leading chunk axis:
-      s1, s0: [N, 1, H, n_class]; head_weight: [N, H] (identical rows).
+    ``s1``/``s0`` carry a leading chunk axis (any extra leading axes are
+    summed too — chunks and batch-of-chunks alike); ``head_weight`` is the
+    per-model [H] constant (a stack of identical rows also works).
     """
-    s1 = jnp.sum(stats["s1"], axis=0)  # [1, H, n_class]
-    s0 = jnp.sum(stats["s0"], axis=0)
-    hw = stats["head_weight"][0]
-    return jnp.einsum("bho,h->bo", s1 / s0, hw)[0]
+    s1 = jnp.asarray(stats["s1"])
+    s0 = jnp.asarray(stats["s0"])
+    reduce_axes = tuple(range(s1.ndim - 2))
+    s1 = jnp.sum(s1, axis=reduce_axes)  # [H, n_class]
+    s0 = jnp.sum(s0, axis=reduce_axes)
+    hw = jnp.asarray(stats["head_weight"]).reshape(-1, s1.shape[0])[0]
+    return jnp.einsum("ho,h->o", s1 / s0, hw)
 
 
 def predict_long(
@@ -139,17 +143,5 @@ def predict_long(
             weight_acc += w.sum()
 
     if supports_stats:
-        hw = np.broadcast_to(
-            stats_acc["head_weight"], (stats_acc["s1"].shape[0],) + stats_acc[
-                "head_weight"
-            ].shape,
-        )
-        out = aggregate_stats(
-            {
-                "s1": jnp.asarray(stats_acc["s1"]),
-                "s0": jnp.asarray(stats_acc["s0"]),
-                "head_weight": jnp.asarray(hw),
-            }
-        )
-        return np.asarray(out)
+        return np.asarray(aggregate_stats(stats_acc))
     return (probs_acc / weight_acc).astype(np.float32)
