@@ -183,11 +183,77 @@ def run_fbank(batch_size: int = 128, steps: int = 60):
     )
 
 
+def run_loader(n_clips: int = 512, batch_size: int = 64):
+    """Secondary metric (--loader): host input-pipeline throughput.
+
+    Measures end-to-end host batching (WAV decode -> zero-padded buffers +
+    means + lengths + labels + mixup partners) with the native C++ batch
+    decoder, over synthetic 10s PCM16 clips. The reference's CPU pipeline
+    additionally computes fbank/augment per item in Python workers; here
+    those run on-TPU, so host work is decode-only — this number is the
+    feed ceiling one host core-set provides.
+    """
+    import json as _json
+    import os
+    import tempfile
+
+    from psla_tpu.data import native
+    from psla_tpu.data.datafiles import load_datafile
+    from psla_tpu.data.loader import AudioLoader, LoaderConfig
+    from psla_tpu.data.wav import write_wav
+
+    rng = np.random.RandomState(0)
+    d = tempfile.mkdtemp(prefix="psla_loaderbench_")
+    entries = []
+    for i in range(n_clips):
+        p = os.path.join(d, f"{i}.wav")
+        write_wav(p, 0.1 * rng.randn(160_000), 16000)  # 10 s @ 16 kHz
+        entries.append({"wav": p, "labels": "/m/0"})
+    with open(os.path.join(d, "df.json"), "w") as f:
+        _json.dump({"data": entries}, f)
+    with open(os.path.join(d, "labels.csv"), "w") as f:
+        f.write("index,mid,display_name\n0,/m/0,x\n")
+    df = load_datafile(
+        os.path.join(d, "df.json"), os.path.join(d, "labels.csv")
+    )
+    loader = AudioLoader(
+        df,
+        LoaderConfig(
+            batch_size=batch_size, buffer_samples=169_200, num_workers=8,
+            mixup=True,
+        ),
+    )
+    n = 0
+    for _ in loader:  # warm the pipeline + page cache
+        pass
+    t0 = time.perf_counter()
+    for batch in loader:
+        n += len(batch["wav"])
+    dt = time.perf_counter() - t0
+    clips = n / dt
+    # mixup decodes a partner per clip: the pipeline actually decoded 2x
+    ref_cpu_loader = 3200.0  # see run_fbank docstring
+    print(
+        _json.dumps(
+            {
+                "metric": "host_loader_clips_per_sec",
+                "value": round(clips, 0),
+                "unit": "clips/s (C++ batch decode incl. mixup partners, native=%s)"
+                % native.available(),
+                "vs_baseline": round(clips / ref_cpu_loader, 1),
+            }
+        )
+    )
+
+
 def main():
     import sys
 
     if "--fbank" in sys.argv:
         run_fbank()
+        return
+    if "--loader" in sys.argv:
+        run_loader()
         return
     for bs in (128, 64, 32):
         try:

@@ -122,7 +122,40 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
     if (i < n_keep) out[i] = v;
   };
 
-  if (format == 3 && bits == 32) {  // IEEE float
+  if (format == 1 && bits == 16 && channels == 1) {
+    // Fast path for the dominant format (AudioSet/FSD50K dumps are mono
+    // PCM16): vectorizable convert+store, multi-accumulator double sum.
+    // data chunks are word-aligned, so int16 loads are aligned.
+    const int16_t* s = reinterpret_cast<const int16_t*>(raw);
+    constexpr float kScale = 1.0f / 32768.0f;
+    double acc0 = 0.0, acc1 = 0.0, acc2 = 0.0, acc3 = 0.0;
+    int64_t i = 0;
+    for (; i + 4 <= n_keep; i += 4) {
+      float v0 = s[i] * kScale, v1 = s[i + 1] * kScale;
+      float v2 = s[i + 2] * kScale, v3 = s[i + 3] * kScale;
+      out[i] = v0;
+      out[i + 1] = v1;
+      out[i + 2] = v2;
+      out[i + 3] = v3;
+      acc0 += v0;
+      acc1 += v1;
+      acc2 += v2;
+      acc3 += v3;
+    }
+    for (; i < n_keep; ++i) {
+      float v = s[i] * kScale;
+      out[i] = v;
+      acc0 += v;
+    }
+    for (i = n_keep; i + 4 <= n_frames; i += 4) {  // truncated tail: mean only
+      acc0 += s[i] * kScale;
+      acc1 += s[i + 1] * kScale;
+      acc2 += s[i + 2] * kScale;
+      acc3 += s[i + 3] * kScale;
+    }
+    for (; i < n_frames; ++i) acc0 += s[i] * kScale;
+    sum = (acc0 + acc1) + (acc2 + acc3);
+  } else if (format == 3 && bits == 32) {  // IEEE float
     stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
       float v;
       std::memcpy(&v, p, 4);
@@ -153,6 +186,8 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
     return kErrBadFormat;
   }
 
+  if (n_keep < buffer_samples)  // zero the padding tail (callers pass empty)
+    std::memset(out + n_keep, 0, (buffer_samples - n_keep) * sizeof(float));
   if (out_mean) *out_mean = n_frames ? static_cast<float>(sum / n_frames) : 0.0f;
   if (out_length) *out_length = static_cast<int32_t>(n_keep);
   if (out_rate) *out_rate = static_cast<int32_t>(rate);
@@ -163,14 +198,14 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
 
 extern "C" {
 
-// Decode one clip into a pre-zeroed float32 buffer. Returns 0 on success.
+// Decode one clip into a float32 buffer (padding tail zero-filled). 0 = ok.
 int psla_decode_wav(const char* path, float* out, int64_t buffer_samples,
                     float* out_mean, int32_t* out_length, int32_t* out_rate) {
   return decode_one(path, out, buffer_samples, out_mean, out_length, out_rate);
 }
 
-// Decode a batch of clips concurrently. `out` is [n, buffer_samples] and must
-// be zero-initialized by the caller. Per-clip status codes land in `status`.
+// Decode a batch of clips concurrently into `out` [n, buffer_samples]; each
+// row's padding tail is zero-filled by the decoder. Status codes in `status`.
 // Returns the number of clips that failed.
 int psla_decode_batch(const char** paths, int32_t n, int64_t buffer_samples,
                       float* out, float* means, int32_t* lengths,
