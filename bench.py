@@ -231,16 +231,22 @@ def run_loader(n_clips: int = 512, batch_size: int = 64):
         n += len(batch["wav"])
     dt = time.perf_counter() - t0
     clips = n / dt
-    # mixup decodes a partner per clip: the pipeline actually decoded 2x
-    ref_cpu_loader = 3200.0  # see run_fbank docstring
+    import multiprocessing
+
+    cores = multiprocessing.cpu_count()
+    # mixup decodes a partner per clip: the pipeline actually decoded 2x.
+    # Baseline: ~100 clips/s/core for the reference's full CPU item path
+    # (decode + fbank + augment); ours is decode-only (fbank is on-TPU),
+    # and the C++ pool scales with cores — compare per-core.
+    ref_per_core = 100.0
     print(
         _json.dumps(
             {
-                "metric": "host_loader_clips_per_sec",
-                "value": round(clips, 0),
-                "unit": "clips/s (C++ batch decode incl. mixup partners, native=%s)"
-                % native.available(),
-                "vs_baseline": round(clips / ref_cpu_loader, 1),
+                "metric": "host_loader_clips_per_sec_per_core",
+                "value": round(clips / cores, 0),
+                "unit": "clips/s/core (C++ batch decode incl. mixup partner, "
+                "%d-core host, native=%s)" % (cores, native.available()),
+                "vs_baseline": round(clips / cores / ref_per_core, 1),
             }
         )
     )
