@@ -72,7 +72,8 @@ class ExperimentConfig:
     fbank_method: str = "auto"
     # parallelism
     num_devices: Optional[int] = None  # None = all visible
-    ensemble_size: int = 1  # >1: train E seeds over an 'ensemble' mesh axis
+    # (multi-seed ensemble-axis training is driven via psla_tpu.parallel.
+    # ensemble — see __graft_entry__.dryrun_multichip for the wiring)
     # observability: capture a jax.profiler trace of training steps
     # [profile_start_step, profile_start_step + profile_steps) into
     # {exp_dir}/profile (SURVEY.md §5.1; the reference only has wall-clock
