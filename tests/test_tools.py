@@ -179,3 +179,76 @@ def test_ensemble_cli_main(tmp_path):
     assert rc == 0
     assert (tmp_path / "preds" / "predictions_1.csv").exists()
     assert (tmp_path / "preds" / "target.csv").exists()
+
+
+def test_label_enhancement_cli_main(tmp_path):
+    """Drive the offline enhancement CLI exactly as a user would."""
+    from psla_tpu.tools import label_enhancement as le
+
+    datafile = tmp_path / "train.json"
+    datafile.write_text(
+        json.dumps({"data": [
+            {"wav": "a.wav", "labels": "/m/speech"},
+            {"wav": "b.wav", "labels": "/m/male"},
+        ]})
+    )
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text(
+        "index,mid,display_name\n"
+        + "".join(f"{i},{m},n{i}\n" for i, m in enumerate(VOCAB))
+    )
+    onto = tmp_path / "ontology.json"
+    onto.write_text(json.dumps(ONTOLOGY))
+    pred = np.array([[0.9, 0.05, 0.95, 0.1], [0.95, 0.05, 0.9, 0.1]])
+    target = np.array([[1, 0, 0, 0], [0, 0, 1, 0]])
+    np.savetxt(tmp_path / "pred.csv", pred, delimiter=",")
+    np.savetxt(tmp_path / "target.csv", target, delimiter=",")
+
+    rc = le.main([
+        "--datafile", str(datafile), "--label-csv", str(label_csv),
+        "--ontology", str(onto), "--pred", str(tmp_path / "pred.csv"),
+        "--target", str(tmp_path / "target.csv"),
+        "--thresholds", "mean", "--no-weights",
+    ])
+    assert rc == 0
+    out = json.loads((tmp_path / "train_type1_2_mean.json").read_text())
+    assert "/m/male" in out["data"][0]["labels"]
+
+
+def test_weight_averaging_cli_main(tmp_path):
+    import orbax.checkpoint as ocp
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.data.wav import write_wav
+    from psla_tpu.models import create_model
+    from psla_tpu.tools import weight_averaging as wa
+
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text("index,mid,display_name\n0,/m/0,a\n1,/m/1,b\n")
+    entries = []
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, rng.standard_normal(8000) * 0.2, 16000)
+        entries.append({"wav": p, "labels": "/m/0" if i % 2 else "/m/1"})
+    (tmp_path / "eval.json").write_text(json.dumps({"data": entries}))
+
+    model = create_model("efficientnet", label_dim=2, eff_b=0, head_num=4)
+    ckpts = []
+    for s in range(2):
+        v = model.init(jax.random.PRNGKey(s), jnp.zeros((1, 64, 128)), train=False)
+        d = str(tmp_path / f"ckpt{s}")
+        ocp.PyTreeCheckpointer().save(
+            d, {"params": jax.tree.map(np.asarray, v["params"]),
+                "batch_stats": jax.tree.map(np.asarray, v["batch_stats"])}
+        )
+        ckpts.append(d)
+
+    rc = wa.main(
+        ckpts
+        + ["--data-eval", str(tmp_path / "eval.json"),
+           "--label-csv", str(label_csv), "--eff_b", "0", "--n_class", "2",
+           "--batch-size", "8", "--target_length", "64"]
+    )
+    assert rc == 0
