@@ -58,7 +58,7 @@ def run(batch_size: int = 64, steps: int = 40):
     from psla_tpu.models import create_model
     from psla_tpu.train.optim import make_optimizer, psla_lr_schedule
     from psla_tpu.train.state import TrainState
-    from psla_tpu.train.step import make_train_step_fn
+    from psla_tpu.train.step import make_train_step_fn, tpu_compiler_options
 
     cfg = ExperimentConfig(dtype="bfloat16", batch_size=batch_size)
     pre = cfg.preprocess_config()
@@ -90,7 +90,10 @@ def run(batch_size: int = 64, steps: int = 40):
     )
     rng = jax.random.PRNGKey(1)
 
-    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    @functools.partial(
+        jax.jit, static_argnames=("n",), donate_argnums=(0,),
+        compiler_options=tpu_compiler_options(),
+    )
     def multi_step(state, stacked, rng, n):
         def body(state, i):
             batch = jax.tree.map(lambda x: x[i % 2], stacked)

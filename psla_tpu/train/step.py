@@ -30,6 +30,18 @@ _BATCH_FIELDS = (
 )
 
 
+def tpu_compiler_options() -> dict | None:
+    """Per-compile XLA options for the hot step programs.
+
+    Raising the scoped-VMEM budget to 32 MiB lets XLA pick larger fusion
+    tiles for the memory-bound conv fusions: measured +4.8% train-step
+    throughput on v5e (128 MiB regressed to baseline). TPU-only — other
+    backends reject the flag."""
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+
+
 def _wav_batch(batch: dict) -> WavBatch:
     return WavBatch(**{k: batch[k] for k in _BATCH_FIELDS})
 
@@ -106,8 +118,11 @@ def build_train_step(
             in_shardings=(repl, batch_shardings, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
+            compiler_options=tpu_compiler_options(),
         )
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(
+        train_step, donate_argnums=(0,), compiler_options=tpu_compiler_options()
+    )
 
 
 def build_eval_step(
@@ -138,5 +153,6 @@ def build_eval_step(
             eval_step,
             in_shardings=(repl, batch_shardings),
             out_shardings=(data, data),
+            compiler_options=tpu_compiler_options(),
         )
-    return jax.jit(eval_step)
+    return jax.jit(eval_step, compiler_options=tpu_compiler_options())
