@@ -33,13 +33,14 @@ _BATCH_FIELDS = (
 def tpu_compiler_options() -> dict | None:
     """Per-compile XLA options for the hot step programs.
 
-    Raising the scoped-VMEM budget to 32 MiB lets XLA pick larger fusion
-    tiles for the memory-bound conv fusions: measured +4.8% train-step
-    throughput on v5e (128 MiB regressed to baseline). TPU-only — other
-    backends reject the flag."""
+    Raising the scoped-VMEM budget to 48 MiB lets XLA pick larger fusion
+    tiles for the memory-bound conv fusions: measured ~+6% train-step
+    throughput on v5e (1007 -> 1068 clips/s; 24/32 MiB slightly lower,
+    128 MiB regresses to baseline). TPU-only — other backends reject the
+    flag."""
     if jax.default_backend() != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return {"xla_tpu_scoped_vmem_limit_kib": "49152"}
 
 
 def _wav_batch(batch: dict) -> WavBatch:
