@@ -306,14 +306,19 @@ class Trainer:
 
             # ---------------- validation + artifacts (traintest.py:136-200)
             stats, valid_loss = self.validate(state, self.val_loader, epoch)
-            ensemble_stats = self.validate_ensemble(epoch)
+            # CSV-backed running ensemble exists only where the CSVs are
+            # written (rank 0); other hosts carry zeros in their result rows
+            ensemble_stats = self.validate_ensemble(epoch) if is_primary() else None
 
             mAP = float(np.mean([s["AP"] for s in stats]))
             mAUC = float(np.nanmean([s["auc"] for s in stats]))
             acc = stats[0]["acc"]
-            ens_mAP = float(np.mean([s["AP"] for s in ensemble_stats]))
-            ens_mAUC = float(np.nanmean([s["auc"] for s in ensemble_stats]))
-            ens_acc = ensemble_stats[0]["acc"]
+            if ensemble_stats is not None:
+                ens_mAP = float(np.mean([s["AP"] for s in ensemble_stats]))
+                ens_mAUC = float(np.nanmean([s["auc"] for s in ensemble_stats]))
+                ens_acc = ensemble_stats[0]["acc"]
+            else:
+                ens_mAP = ens_mAUC = ens_acc = 0.0
             mid_p = float(np.mean(
                 [s["precisions"][len(s["precisions"]) // 2] for s in stats]
             ))
@@ -334,7 +339,8 @@ class Trainer:
                 main, mAUC, mid_p, mid_r, d_prime(mAUC), meters["loss"].avg,
                 valid_loss, ens_main, ens_mAUC, cur_lr,
             ]
-            np.savetxt(result_path, result_rows, delimiter=",")
+            if is_primary():
+                np.savetxt(result_path, result_rows, delimiter=",")
 
             if main > progress["best_metric"]:
                 progress["best_metric"] = main
@@ -347,10 +353,11 @@ class Trainer:
                 self.save_checkpoint(state, "best")
             self.save_checkpoint(state, f"epoch_{epoch}")
 
-            with open(
-                os.path.join(self.exp_dir, f"stats_{epoch}.pickle"), "wb"
-            ) as f:
-                pickle.dump(stats, f, protocol=pickle.HIGHEST_PROTOCOL)
+            if is_primary():
+                with open(
+                    os.path.join(self.exp_dir, f"stats_{epoch}.pickle"), "wb"
+                ) as f:
+                    pickle.dump(stats, f, protocol=pickle.HIGHEST_PROTOCOL)
 
             progress["epoch"] = epoch
             progress["global_step"] = int(state.step)
@@ -358,7 +365,8 @@ class Trainer:
                 [epoch, int(state.step), progress["best_epoch"],
                  progress["best_metric"], time.time() - start_time]
             )
-            self._save_progress(progress)
+            if is_primary():
+                self._save_progress(progress)
             print(f"epoch {epoch} training time: {time.time() - epoch_begin:.3f}")
 
         if cfg.wa:

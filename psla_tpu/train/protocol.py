@@ -88,20 +88,27 @@ def post_training_summary(trainer, eval_loader=None) -> dict:
             )
             ensemble_pred = pred if ensemble_pred is None else ensemble_pred + pred
             count += 1
-        target = np.loadtxt(
-            os.path.join(exp_dir, "predictions", "eval_target.csv"), delimiter=","
-        )
-        ensemble_pred = ensemble_pred / count
-        stats = calculate_stats(ensemble_pred, target)
-        eval_map, eval_auc = _mean_ap_auc(stats)
-        np.savetxt(
-            os.path.join(exp_dir, "ensemble_result.csv"),
-            [val_map, val_auc, eval_map, eval_auc],
-        )
-        summary["ensemble"] = dict(
-            val_mAP=val_map, val_mAUC=val_auc, eval_mAP=eval_map, eval_mAUC=eval_auc
-        )
-        print(f"ensemble ({count} ckpts): eval mAP {eval_map:.6f}")
+        if count == 0:
+            # per-epoch checkpoints can be absent (--save_model False lets
+            # weight averaging delete them, traintest.py:310-311 semantics)
+            print("ensemble: no per-epoch checkpoints on disk, skipped")
+        else:
+            target = np.loadtxt(
+                os.path.join(exp_dir, "predictions", "eval_target.csv"),
+                delimiter=",",
+            )
+            ensemble_pred = ensemble_pred / count
+            stats = calculate_stats(ensemble_pred, target)
+            eval_map, eval_auc = _mean_ap_auc(stats)
+            np.savetxt(
+                os.path.join(exp_dir, "ensemble_result.csv"),
+                [val_map, val_auc, eval_map, eval_auc],
+            )
+            summary["ensemble"] = dict(
+                val_mAP=val_map, val_mAUC=val_auc,
+                eval_mAP=eval_map, eval_mAUC=eval_auc,
+            )
+            print(f"ensemble ({count} ckpts): eval mAP {eval_map:.6f}")
     else:
         result = np.atleast_2d(
             np.loadtxt(os.path.join(exp_dir, "result.csv"), delimiter=",")
