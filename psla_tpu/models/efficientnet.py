@@ -96,6 +96,81 @@ def efficientnet_arch(b: int):
     return stem, blocks, head
 
 
+class _S2DStemConvBN(nn.Module):
+    """Space-to-depth stem: mathematically EXACT rewrite of the 3x3/s2
+    single-channel stem conv as a 2x2/s1 conv over 2x2 pixel blocks.
+
+    The [B, F, T, 1] input pads its channel dim to a full 128-lane tile in
+    TPU memory; re-expressing it as [B, F/2, T/2, 4] cuts that tiled
+    footprint 4x and replaces the strided conv with a denser one. The
+    parameter tree is unchanged (conv/kernel [3,3,1,C] + bn/*), so
+    checkpoints trained either way are interchangeable.
+
+    Derivation: with SAME padding at stride 2 on even extents, jax pads
+    (lo=0, hi=1); output (i,j) reads x[2i..2i+2, 2j..2j+2]. Writing
+    2i+u = 2(i+p)+di, the 3x3 taps map into a 2x2 block kernel
+    K[p,q,(di,dj)] with K[0,0]=w[:2,:2], K[1,0,(0,dj)]=w[2,:2],
+    K[0,1,(di,0)]=w[:2,2], K[1,1,(0,0)]=w[2,2], zero elsewhere; block
+    padding (lo=0, hi=1) reproduces the original zero pad.
+    """
+
+    features: int
+    act: str = "silu"
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        import jax
+
+        b, f, t, c = x.shape
+        assert c == 1 and f % 2 == 0 and t % 2 == 0, (f, t, c)
+        # kernel lives at .../stem/conv/kernel like the plain ConvBN stem
+        w = _StemKernel(self.features, name="conv")()
+        o = self.features
+        kk = jnp.zeros((2, 2, 4, o), w.dtype)
+        # channel layout of the 2x2 block: (di, dj) -> di*2 + dj
+        for di in range(2):
+            for dj in range(2):
+                kk = kk.at[0, 0, di * 2 + dj].set(w[di, dj, 0])
+        for dj in range(2):
+            kk = kk.at[1, 0, dj].set(w[2, dj, 0])  # (di=0, dj)
+        for di in range(2):
+            kk = kk.at[0, 1, di * 2].set(w[di, 2, 0])  # (di, dj=0)
+        kk = kk.at[1, 1, 0].set(w[2, 2, 0])
+
+        y = x.reshape(b, f // 2, 2, t // 2, 2).transpose(0, 1, 3, 2, 4)
+        y = y.reshape(b, f // 2, t // 2, 4).astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            y,
+            kk.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((0, 1), (0, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            dtype=self.dtype,
+            name="bn",
+        )(out)
+        return nn.silu(out)
+
+
+class _StemKernel(nn.Module):
+    """Holds the stem conv kernel under the standard 'conv/kernel' path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", conv_kernel_init, (3, 3, 1, self.features)
+        )
+
+
 class MBConvBlock(nn.Module):
     """Mobile inverted bottleneck with squeeze-and-excitation."""
 
@@ -164,6 +239,10 @@ class EfficientNet(nn.Module):
     # Cuts peak activation memory ~3x for large batches at ~18% step-time
     # cost (measured on v5e, bs=128) — a memory knob, not a speed knob.
     remat: bool = False
+    # exact space-to-depth rewrite of the stem conv (see _S2DStemConvBN);
+    # checkpoint-compatible either way. Measured NEUTRAL on v5e at bs=128
+    # (XLA already handles the C=1 stem well); kept for other topologies.
+    stem_s2d: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -173,10 +252,16 @@ class EfficientNet(nn.Module):
     def __call__(self, x, train: bool = False):
         stem, blocks, head = efficientnet_arch(self.b)
         x = x.astype(self.dtype)
-        x = ConvBN(
-            stem, (3, 3), strides=(2, 2), act="silu", dtype=self.dtype,
-            bn_momentum=self.bn_momentum, name="stem"
-        )(x, train)
+        if self.stem_s2d:
+            x = _S2DStemConvBN(
+                stem, dtype=self.dtype, bn_momentum=self.bn_momentum,
+                name="stem",
+            )(x, train)
+        else:
+            x = ConvBN(
+                stem, (3, 3), strides=(2, 2), act="silu", dtype=self.dtype,
+                bn_momentum=self.bn_momentum, name="stem"
+            )(x, train)
 
         total = sum(r for _, r in blocks)
         idx = 0

@@ -26,6 +26,7 @@ class EffNetAttention(nn.Module):
     head_num: int = 4
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.99
+    stem_s2d: bool = False  # exact space-to-depth stem (efficientnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_stats: bool = False):
@@ -35,7 +36,7 @@ class EffNetAttention(nn.Module):
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         feats = EfficientNet(
             b=self.b, dtype=self.dtype, bn_momentum=self.bn_momentum,
-            name="effnet",
+            stem_s2d=self.stem_s2d, name="effnet",
         )(x, train=train)
         feats = jnp.mean(feats, axis=1)  # average residual freq axis -> [B, T', C]
         if self.head_num > 1:

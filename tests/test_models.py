@@ -125,3 +125,22 @@ def test_registry():
         assert m is not None
     with pytest.raises(ValueError):
         create_model("nope")
+
+
+def test_stem_s2d_exact_and_checkpoint_compatible():
+    """Space-to-depth stem (efficientnet._S2DStemConvBN): same parameter
+    tree, bit-level eval parity with the strided stem."""
+    import numpy as np
+    from psla_tpu.models.efficientnet import EfficientNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 1)).astype(np.float32))
+    m0 = EfficientNet(b=0)
+    m1 = EfficientNet(b=0, stem_s2d=True)
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x, train=False)
+    ) == jax.tree.structure(v)
+    o0 = m0.apply(v, x, train=False)
+    o1 = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
