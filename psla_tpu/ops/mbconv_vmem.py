@@ -84,9 +84,11 @@ def _block_body(
 
     if stride == 1:
         if has_expand:
+            # swish stays f32: bf16 logistic hits a Mosaic lowering bug
+            # ('vector.broadcast' element type mismatch)
             e = jax.nn.swish(
-                (_dot(x2, w1_ref[...], fast) + b1_ref[...]).astype(act_dtype)
-            )
+                _dot(x2, w1_ref[...], fast) + b1_ref[...]
+            ).astype(act_dtype)
         else:
             e = x2.astype(act_dtype)
         ce = e.shape[-1]
@@ -121,37 +123,52 @@ def _block_body(
             flat = xp.reshape(hp * whp, ci)
             if has_expand:
                 ep = jax.nn.swish(
-                    (_dot(flat, w1_ref[...], fast) + b1_ref[...]).astype(
-                        act_dtype
-                    )
-                )
+                    _dot(flat, w1_ref[...], fast) + b1_ref[...]
+                ).astype(act_dtype)
             else:
                 ep = flat.astype(act_dtype)
             planes.append(ep.reshape(hp, whp, -1))
         ce = planes[0].shape[-1]
         whp = planes[0].shape[1]
+        # Mosaic forbids strided slices of vectors, so the H stride is
+        # handled the same way as W: parity planes. The scratch is
+        # [w_par, h_par, Hh2, Whp, Ce]; tap (dh, dw) reads plane
+        # (dw%2, dh%2) at outer offset dh//2 (free) and sublane offset
+        # dw//2 (k shared relayout slices total).
+        hpad = h + (h % 2)
         es_ref[...] = jnp.zeros_like(es_ref)
-        for p in range(2):
-            # plane column q holds padded-W coordinate 2q+p; the valid
+        for p_w in range(2):
+            # plane column q holds padded-W coordinate 2q+p_w; the valid
             # input occupies padded coords [lo_w, lo_w + w)
-            qlo = max(0, -(-(lo_w - p) // 2))
-            qhi = min(whp, -(-(lo_w + w - p) // 2))
-            es_ref[p, lo_h:lo_h + h, qlo:qhi, :] = (
-                planes[p][:, qlo:qhi, :]
-            )
+            qlo = max(0, -(-(lo_w - p_w) // 2))
+            qhi = min(whp, -(-(lo_w + w - p_w) // 2))
+            ep = planes[p_w]
+            if hpad != h:  # odd H: one zero row so the H-parity reshape works
+                ep = jnp.concatenate(
+                    [ep, jnp.zeros((1,) + ep.shape[1:], ep.dtype)], axis=0
+                )
+            ep_r = ep.reshape(hpad // 2, 2, whp, ce)
+            for p_h in range(2):
+                # plane row t holds padded-H coordinate 2t+p_h; valid
+                # padded coords are [lo_h, lo_h + h)
+                tlo = max(0, -(-(lo_h - p_h) // 2))
+                thi = -(-(lo_h + h - p_h) // 2)
+                r0 = (2 * tlo + p_h - lo_h) % 2
+                j0 = (2 * tlo + p_h - lo_h - r0) // 2
+                es_ref[p_w, p_h, tlo:thi, qlo:qhi, :] = (
+                    ep_r[j0:j0 + (thi - tlo), r0, qlo:qhi, :]
+                )
         acc = jnp.zeros((ho, wo, ce), jnp.float32)
         for dw in range(k):
-            p, q = dw % 2, dw // 2
-            esl = es_ref[p, :, q:q + wo, :]  # [Hh, Wo, Ce]
+            p_w, q_w = dw % 2, dw // 2
+            esl = es_ref[p_w, :, :, q_w:q_w + wo, :]  # [2, Hh2, Wo, Ce]
             for dh in range(k):
+                p_h, q_h = dh % 2, dh // 2
                 tap = wd_ref[dh * k + dw, :][None, None, :].astype(act_dtype)
-                sl = jax.lax.slice(
-                    esl, (dh, 0, 0), (dh + (ho - 1) * stride + 1, wo, ce),
-                    (stride, 1, 1),
-                )
+                sl = esl[p_h, q_h:q_h + ho]
                 acc = acc + (sl * tap).astype(jnp.float32)
     return (
-        jax.nn.swish((acc + bd_ref[...][None, :, :]).astype(act_dtype)),
+        jax.nn.swish(acc + bd_ref[...][None, :, :]).astype(act_dtype),
         ho,
         wo,
     )
@@ -273,7 +290,8 @@ def fused_mbconv_eval_v2(
                          memory_space=pltpu.VMEM)
             for _ in range(2)
         ]
-        scratch = [pltpu.VMEM((2, hh, whp, ce), act_dtype)]
+        hh2 = max(ho + (k - 1) // 2, -(-(lo_h + h) // 2))
+        scratch = [pltpu.VMEM((2, 2, hh2, whp, ce), act_dtype)]
 
     out = pl.pallas_call(
         kern,
