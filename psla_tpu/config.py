@@ -67,6 +67,9 @@ class ExperimentConfig:
     n_print_steps: int = 100
     seed: int = 0
     dtype: str = "float32"  # or "bfloat16" for MXU throughput
+    # rematerialize MBConv blocks in backward: ~3x lower peak activation
+    # memory for ~18% step time (v5e, bs=128) — enables larger batches
+    remat: bool = False
     # fbank lowering: 'auto' (pallas kernel on TPU, fft elsewhere),
     # 'fft', 'gemm', or 'pallas' — see frontend/pipeline.py.
     fbank_method: str = "auto"

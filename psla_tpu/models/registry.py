@@ -19,12 +19,13 @@ def create_model(
     dtype: jnp.dtype = jnp.float32,
     bn_momentum: float = 0.99,
     stem_s2d: bool = False,
+    remat: bool = False,
 ):
     """Build the flax module for a model name (run.py's --model choices)."""
     if name == "efficientnet":
         return EffNetAttention(
             label_dim=label_dim, b=eff_b, head_num=head_num, dtype=dtype,
-            bn_momentum=bn_momentum, stem_s2d=stem_s2d,
+            bn_momentum=bn_momentum, stem_s2d=stem_s2d, remat=remat,
         )
     if name == "resnet":
         return ResNetAttention(label_dim=label_dim, dtype=dtype)

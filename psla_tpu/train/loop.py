@@ -74,6 +74,7 @@ class Trainer:
             head_num=config.att_head,
             dtype=dtype,
             bn_momentum=config.bn_momentum,
+            remat=config.remat,
         )
         self.pre_config = config.preprocess_config()
         self.mesh = make_mesh(config.num_devices)

@@ -144,3 +144,35 @@ def test_stem_s2d_exact_and_checkpoint_compatible():
     o0 = m0.apply(v, x, train=False)
     o1 = m1.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+
+def test_remat_same_forward_and_grads():
+    """remat=True must be numerics-neutral: identical param tree, same
+    train-mode forward, and matching gradients (it only changes what the
+    backward pass stores vs recomputes)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 64, 128)).astype(np.float32))
+    m0 = create_model("efficientnet", label_dim=7, eff_b=0, remat=False)
+    m1 = create_model("efficientnet", label_dim=7, eff_b=0, remat=True)
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x, train=False)
+    ) == jax.tree.structure(v)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, rngs={"dropout": jax.random.PRNGKey(3)},
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        g0, g1,
+    )
