@@ -34,6 +34,15 @@ Reference semantics: efficientnet_pytorch MBConvBlock.forward as used by
 PSLA (reference src/models/Models.py:69-72,109); parity is tested against
 the flax MBConvBlock (models/efficientnet.py) in eval mode with BN folded
 (fold_block_params from ops/fused_mbconv.py).
+
+Performance verdict (v5e, see PERF.md for the full ablation): the v2
+structure fixes v1's DMA serialization (I/O overhead is ~0.3 ms over the
+compute floor at B=64) but the kernel is VPU-bound — depthwise taps,
+swish, and SE together cost ~2.7 ms on the stage-2 repeat block where
+XLA's entire eval forward is 1.40 ms at its HBM roofline, and the same
+VPU cost would dominate a custom-VJP training version (XLA train
+fwd+bwd bar: 8.18 ms for that block). Kept as exact, tested
+infrastructure, not wired into the model's hot path.
 """
 
 from __future__ import annotations
