@@ -175,9 +175,12 @@ def run_enhancement(
     dataset: str = "audioset",
     threshold_kinds=THRESHOLD_KINDS,
     gen_weights: bool = True,
+    kinds: tuple[str, ...] = ("type1", "type2", "type1_2"),
 ) -> dict[str, dict[str, str]]:
-    """Full offline pipeline: writes *_type1_{p}.json, *_type2_{p}.json,
-    *_type1_2_{p}.json (+ weight files). Returns {kind: {p: path}}."""
+    """Offline pipeline: writes *_type1_{p}.json, *_type2_{p}.json,
+    *_type1_2_{p}.json (+ weight files) for the requested `kinds`
+    (the reference splits these across fix_type1.py / fix_type2.py /
+    merge_type_1_2.py). Returns {kind: {p: path}}."""
     with open(datafile_json, encoding="utf8") as f:
         entries = json.load(f)["data"]
     index_dict = make_index_dict(label_csv)
@@ -190,24 +193,47 @@ def run_enhancement(
 
     stem = datafile_json[:-5]
     written: dict[str, dict[str, str]] = {"type1": {}, "type2": {}, "type1_2": {}}
+    need_t1 = "type1" in kinds or "type1_2" in kinds
+    need_t2 = "type2" in kinds or "type1_2" in kinds
     for p in threshold_kinds:
         thr = thresholds[p]
-        t1, n1 = enhance_labels(entries, pred, children, index_dict, thr, dataset)
-        t2, n2 = enhance_labels(entries, pred, ancestors, index_dict, thr, dataset)
-        merged = merge_entries(t1, t2)
-        for kind, data in (("type1", t1), ("type2", t2), ("type1_2", merged)):
+        n1 = n2 = 0
+        produced = {}
+        if need_t1:
+            t1, n1 = enhance_labels(
+                entries, pred, children, index_dict, thr, dataset
+            )
+            produced["type1"] = t1
+        if need_t2:
+            t2, n2 = enhance_labels(
+                entries, pred, ancestors, index_dict, thr, dataset
+            )
+            produced["type2"] = t2
+        if "type1_2" in kinds:
+            produced["type1_2"] = merge_entries(
+                produced["type1"], produced["type2"]
+            )
+        for kind in kinds:
             path = f"{stem}_{kind}_{p}.json"
             with open(path, "w") as f:
-                json.dump({"data": data}, f, indent=1)
+                json.dump({"data": produced[kind]}, f, indent=1)
             written[kind][p] = path
             if gen_weights:
                 gen_weight_file(path, label_csv)
         print(f"threshold={p}: +{n1} type1 labels, +{n2} type2 labels")
-    return written
+    return {k: v for k, v in written.items() if k in kinds}
 
 
 def main(argv=None):
-    """CLI: full offline enhancement (fix_type1 + fix_type2 + merge).
+    """CLI: offline label enhancement.
+
+    --mode all     fix_type1 + fix_type2 + merge (default)
+    --mode type1   child-label completion only        (fix_type1.py)
+    --mode type2   ancestor-label completion only     (fix_type2.py)
+    --mode merge   both fixes + per-sample set-union  (merge_type_1_2.py)
+    --mode check   co-occurrence report for a parent class and its
+                   ontology children (check_label_error.py) — needs only
+                   --datafile/--ontology (+ optional --parent-mid)
 
     python -m psla_tpu.tools.label_enhancement \
         --datafile tr.json --label-csv labels.csv --ontology ontology.json \
@@ -217,21 +243,52 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--mode", default="all",
+                   choices=["all", "type1", "type2", "merge", "check"])
     p.add_argument("--datafile", required=True)
-    p.add_argument("--label-csv", required=True)
+    p.add_argument("--label-csv", default=None)
     p.add_argument("--ontology", required=True,
                    help="AudioSet ontology.json (public Google release)")
-    p.add_argument("--pred", required=True,
+    p.add_argument("--pred", default=None,
                    help="model predictions CSV on the TRAIN set")
-    p.add_argument("--target", required=True, help="target CSV (multi-hot)")
+    p.add_argument("--target", default=None, help="target CSV (multi-hot)")
     p.add_argument("--dataset", default="audioset")
     p.add_argument("--thresholds", nargs="+", default=list(THRESHOLD_KINDS))
     p.add_argument("--no-weights", action="store_true")
+    p.add_argument("--parent-mid", default="/m/09x0r",
+                   help="[check] parent class mid (default: Speech, the "
+                        "reference's check_label_error.py case)")
     args = p.parse_args(argv)
+
+    if args.mode == "check":
+        with open(args.datafile, encoding="utf8") as f:
+            entries = json.load(f)["data"]
+        children = child_map(load_ontology(args.ontology))
+        kids = children.get(args.parent_mid) or []
+        with_child, with_both = check_label_cooccurrence(
+            entries, args.parent_mid, kids
+        )
+        print(
+            f"{args.datafile}: {with_child} samples carry a child of "
+            f"{args.parent_mid}; {with_both} of those also carry the "
+            f"parent ({with_both / max(1, with_child):.1%})"
+        )
+        return 0
+
+    for flag in ("label_csv", "pred", "target"):
+        if getattr(args, flag) is None:
+            p.error(f"--{flag.replace('_', '-')} is required for "
+                    f"--mode {args.mode}")
+    kinds = {
+        "all": ("type1", "type2", "type1_2"),
+        "type1": ("type1",),
+        "type2": ("type2",),
+        "merge": ("type1_2",),
+    }[args.mode]
     run_enhancement(
         args.datafile, args.label_csv, args.ontology, args.pred, args.target,
         dataset=args.dataset, threshold_kinds=tuple(args.thresholds),
-        gen_weights=not args.no_weights,
+        gen_weights=not args.no_weights, kinds=kinds,
     )
     return 0
 

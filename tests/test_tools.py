@@ -252,3 +252,51 @@ def test_weight_averaging_cli_main(tmp_path):
            "--batch-size", "8", "--target_length", "64"]
     )
     assert rc == 0
+
+
+def test_label_enhancement_cli_modes(tmp_path, capsys):
+    """--mode type1/merge/check select the reference's per-script behaviors."""
+    from psla_tpu.tools import label_enhancement as le
+
+    datafile = tmp_path / "train.json"
+    datafile.write_text(
+        json.dumps({"data": [
+            {"wav": "a.wav", "labels": "/m/speech"},
+            {"wav": "b.wav", "labels": "/m/male"},
+        ]})
+    )
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text(
+        "index,mid,display_name\n"
+        + "".join(f"{i},{m},n{i}\n" for i, m in enumerate(VOCAB))
+    )
+    onto = tmp_path / "ontology.json"
+    onto.write_text(json.dumps(ONTOLOGY))
+    pred = np.array([[0.9, 0.05, 0.95, 0.1], [0.95, 0.05, 0.9, 0.1]])
+    target = np.array([[1, 0, 0, 0], [0, 0, 1, 0]])
+    np.savetxt(tmp_path / "pred.csv", pred, delimiter=",")
+    np.savetxt(tmp_path / "target.csv", target, delimiter=",")
+    common = [
+        "--datafile", str(datafile), "--label-csv", str(label_csv),
+        "--ontology", str(onto), "--pred", str(tmp_path / "pred.csv"),
+        "--target", str(tmp_path / "target.csv"),
+        "--thresholds", "mean", "--no-weights",
+    ]
+
+    assert le.main(["--mode", "type1"] + common) == 0
+    assert (tmp_path / "train_type1_mean.json").exists()
+    assert not (tmp_path / "train_type2_mean.json").exists()
+
+    assert le.main(["--mode", "merge"] + common) == 0
+    out = json.loads((tmp_path / "train_type1_2_mean.json").read_text())
+    assert "/m/male" in out["data"][0]["labels"]
+    # merge mode writes only the union file
+    assert not (tmp_path / "train_type2_mean.json").exists()
+
+    rc = le.main([
+        "--mode", "check", "--datafile", str(datafile),
+        "--ontology", str(onto), "--parent-mid", "/m/speech",
+    ])
+    assert rc == 0
+    report = capsys.readouterr().out
+    assert "1 samples carry a child of /m/speech" in report
