@@ -1,0 +1,150 @@
+"""Subprocess worker for TRUE multi-process distributed tests.
+
+Launched by tests/test_distributed.py with 2 processes x 2 virtual CPU
+devices each (gloo collectives over localhost). Runs the framework's real
+multi-host path — jax.distributed.initialize via maybe_initialize,
+make_global_batch from host-local rows, the jitted mesh-sharded train
+step, allgather_host for eval outputs — and dumps per-process results for
+the parent to compare against a single-process ground-truth run.
+
+Usage: python tests/distributed_worker.py PID NPROCS PORT OUTDIR
+(env must set JAX_PLATFORMS=cpu and
+ XLA_FLAGS=--xla_force_host_platform_device_count=<local devices>)
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+GLOBAL_BATCH = 8  # divisible by the worker mesh (4) and conftest mesh (8)
+N_CLASS = 8
+TARGET_LENGTH = 64
+STEPS = 2
+
+
+def global_host_batch(pre):
+    """The full deterministic 4-row waveform batch (every process builds
+    the same one and slices its local rows)."""
+    rng = np.random.RandomState(0)
+    b = GLOBAL_BATCH
+    n = pre.fbank.buffer_length(TARGET_LENGTH)
+    wav = (0.1 * rng.randn(b, n)).astype(np.float32)
+    labels = np.eye(N_CLASS, dtype=np.float32)[rng.randint(N_CLASS, size=b)]
+    return {
+        "wav": wav,
+        "wav_mean": wav.mean(axis=1),
+        "length": np.full(b, n, np.int32),
+        "labels": labels,
+        "mix_wav": wav[::-1].copy(),
+        "mix_wav_mean": wav.mean(axis=1)[::-1].copy(),
+        "mix_length": np.full(b, n, np.int32),
+        "mix_labels": labels[::-1].copy(),
+        "n_valid": np.int32(b),
+    }
+
+
+def run(local_slice=None):
+    """Build model+step exactly like __graft_entry__.dryrun_multichip's 1-D
+    branch, feed `local_slice` rows of the global batch through
+    make_global_batch, run STEPS train steps, and return
+    (losses, param_l1, gathered_fbank_sum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.frontend.pipeline import preprocess_eval, WavBatch
+    from psla_tpu.models import create_model
+    from psla_tpu.parallel.distributed import allgather_host, make_global_batch
+    from psla_tpu.parallel.mesh import make_mesh
+    from psla_tpu.train.optim import make_optimizer, psla_lr_schedule
+    from psla_tpu.train.state import TrainState
+    from psla_tpu.train.step import build_train_step, build_eval_step
+
+    cfg = ExperimentConfig(
+        n_class=N_CLASS, eff_b=0, att_head=4, target_length=TARGET_LENGTH,
+        freqm=8, timem=8, mixup=0.5, lr=1e-3, batch_size=GLOBAL_BATCH,
+        warmup=True, bn_momentum=0.9,
+    )
+    pre = cfg.preprocess_config()
+    model = create_model(
+        cfg.model, label_dim=cfg.n_class, eff_b=cfg.eff_b,
+        head_num=cfg.att_head, bn_momentum=cfg.bn_momentum,
+    )
+    tx = make_optimizer(psla_lr_schedule(cfg.lr, steps_per_epoch=100))
+    mesh = make_mesh()  # all global devices
+
+    full = global_host_batch(pre)
+    host_batch = full
+    if local_slice is not None:
+        lo, hi = local_slice
+        host_batch = {
+            k: (v if np.ndim(v) == 0 else np.asarray(v)[lo:hi])
+            for k, v in full.items()
+        }
+
+    example = jnp.zeros((1, TARGET_LENGTH, cfg.num_mel_bins), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), example, train=False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    with mesh:
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        step = build_train_step(model, tx, pre, cfg.loss, mesh=mesh)
+        eval_step = build_eval_step(model, pre, cfg.loss, mesh=mesh)
+        batch = make_global_batch(host_batch, mesh)
+        losses = []
+        for _ in range(STEPS):
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+            losses.append(float(metrics["loss"]))
+        probs, per_loss = eval_step(state, batch)
+        gathered = allgather_host(probs)
+    param_l1 = float(
+        sum(jnp.sum(jnp.abs(p)).astype(jnp.float64) for p in jax.tree.leaves(state.params))
+    )
+    assert gathered.shape == (GLOBAL_BATCH, N_CLASS), gathered.shape
+    return losses, param_l1, float(np.sum(gathered))
+
+
+def main():
+    pid, nprocs, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from psla_tpu.parallel.distributed import (
+        is_primary, maybe_initialize, process_info,
+    )
+
+    assert maybe_initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert process_info() == (pid, nprocs)
+    assert is_primary() == (pid == 0)
+
+    per_host = GLOBAL_BATCH // nprocs
+    losses, param_l1, gathered_sum = run(
+        local_slice=(pid * per_host, (pid + 1) * per_host)
+    )
+    with open(os.path.join(outdir, f"proc{pid}.json"), "w") as f:
+        json.dump(
+            {"losses": losses, "param_l1": param_l1,
+             "gathered_sum": gathered_sum}, f,
+        )
+    print(f"proc {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
