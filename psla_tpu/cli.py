@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--fbank-method", choices=["auto", "fft", "gemm", "pallas"],
                    default=None)
+    p.add_argument("--fbank-precision", choices=["highest", "high", "default"],
+                   default=None,
+                   help="MXU precision of the training fbank matmuls "
+                        "(config default 'high' = bf16x3; 'highest' for "
+                        "f32-parity runs)")
+    p.add_argument("--remat", type=_bool, default=None,
+                   help="rematerialize MBConv blocks in backward (~3x lower "
+                        "peak activation memory for ~18%% step time)")
     p.add_argument("--profile-steps", type=int, default=None,
                    help="capture a jax.profiler trace of this many train "
                         "steps into {exp_dir}/profile")
@@ -107,7 +115,8 @@ _ARG_TO_FIELD = {
     "freqm": "freqm", "timem": "timem", "mixup": "mixup", "noise": "noise",
     "bal": "bal", "wa": "wa", "wa_start": "wa_start", "wa_end": "wa_end",
     "save_model": "save_model", "seed": "seed", "num_devices": "num_devices",
-    "fbank_method": "fbank_method", "profile_steps": "profile_steps",
+    "fbank_method": "fbank_method", "fbank_precision": "fbank_precision",
+    "remat": "remat", "profile_steps": "profile_steps",
     "profile_start_step": "profile_start_step",
 }
 

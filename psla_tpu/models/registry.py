@@ -27,6 +27,12 @@ def create_model(
             label_dim=label_dim, b=eff_b, head_num=head_num, dtype=dtype,
             bn_momentum=bn_momentum, stem_s2d=stem_s2d, remat=remat,
         )
+    if stem_s2d or remat:
+        # refuse rather than silently ignore (the reference's ignored-flag
+        # quirks are deliberately NOT reproduced, SURVEY.md §7.4)
+        raise ValueError(
+            f"stem_s2d/remat are EfficientNet-only options (got model={name!r})"
+        )
     if name == "resnet":
         return ResNetAttention(label_dim=label_dim, dtype=dtype)
     if name == "mbnet":

@@ -89,7 +89,6 @@ def _block_body(
     w1_ref, b1_ref, wd_ref, bd_ref = refs
     ho, lo_h, _ = same_pad(h, k, stride)
     wo, lo_w, _ = same_pad(w, k, stride)
-    hh = (ho - 1) * stride + k  # = lo_h + h + hi_h
 
     if stride == 1:
         if has_expand:

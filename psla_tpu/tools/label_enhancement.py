@@ -220,7 +220,10 @@ def run_enhancement(
             written[kind][p] = path
             if gen_weights:
                 gen_weight_file(path, label_csv)
-        print(f"threshold={p}: +{n1} type1 labels, +{n2} type2 labels")
+        parts = [f"+{n1} type1 labels"] if need_t1 else []
+        if need_t2:
+            parts.append(f"+{n2} type2 labels")
+        print(f"threshold={p}: " + ", ".join(parts))
     return {k: v for k, v in written.items() if k in kinds}
 
 

@@ -25,8 +25,8 @@ STEPS = 2
 
 
 def global_host_batch(pre):
-    """The full deterministic 4-row waveform batch (every process builds
-    the same one and slices its local rows)."""
+    """The full deterministic GLOBAL_BATCH-row waveform batch (every
+    process builds the same one and slices its local rows)."""
     rng = np.random.RandomState(0)
     b = GLOBAL_BATCH
     n = pre.fbank.buffer_length(TARGET_LENGTH)
@@ -54,7 +54,6 @@ def run(local_slice=None):
     import jax.numpy as jnp
 
     from psla_tpu.config import ExperimentConfig
-    from psla_tpu.frontend.pipeline import preprocess_eval, WavBatch
     from psla_tpu.models import create_model
     from psla_tpu.parallel.distributed import allgather_host, make_global_batch
     from psla_tpu.parallel.mesh import make_mesh
@@ -105,8 +104,13 @@ def run(local_slice=None):
             losses.append(float(metrics["loss"]))
         probs, per_loss = eval_step(state, batch)
         gathered = allgather_host(probs)
+    # accumulate on host in real float64 (jnp would silently stay f32
+    # without jax_enable_x64)
     param_l1 = float(
-        sum(jnp.sum(jnp.abs(p)).astype(jnp.float64) for p in jax.tree.leaves(state.params))
+        np.sum([
+            np.float64(jnp.sum(jnp.abs(p)))
+            for p in jax.tree.leaves(state.params)
+        ])
     )
     assert gathered.shape == (GLOBAL_BATCH, N_CLASS), gathered.shape
     return losses, param_l1, float(np.sum(gathered))

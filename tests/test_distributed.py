@@ -73,7 +73,13 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     )
     env.pop("JAX_COORDINATOR_ADDRESS", None)
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
-    port = 39931
+    # grab a free port (closing the probe socket right before launch keeps
+    # the race window tiny and avoids collisions between pytest sessions)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
@@ -82,7 +88,12 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 
