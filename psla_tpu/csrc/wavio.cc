@@ -29,6 +29,8 @@
 #include <thread>
 #include <vector>
 
+#include "wavio.h"
+
 namespace {
 
 constexpr int kOk = 0;
@@ -72,10 +74,17 @@ void stream_samples(const uint8_t* raw, int64_t n_frames, int stride_bytes,
   for (int64_t i = 0; i < n_frames; ++i) emit(i, raw + i * stride_bytes);
 }
 
-int decode_one(const char* path, float* out, int64_t buffer_samples,
-               float* out_mean, int32_t* out_length, int32_t* out_rate) {
-  RawFile file;
-  if (!read_file(path, &file)) return kErrOpen;
+// Chunk-walk + format parse shared by the truncating and full decoders.
+struct ParsedWav {
+  const uint8_t* raw = nullptr;
+  int64_t n_frames = 0;
+  int stride = 0;
+  uint16_t format = 0;
+  uint16_t bits = 0;
+  uint32_t rate = 0;
+};
+
+int parse_wav(const RawFile& file, ParsedWav* pw) {
   const uint8_t* d = file.bytes.data();
   const size_t n = file.bytes.size();
   if (n < 12 || std::memcmp(d, "RIFF", 4) != 0 || std::memcmp(d + 8, "WAVE", 4) != 0)
@@ -105,15 +114,32 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
 
   uint16_t format = rd_u16(fmt);
   uint16_t channels = rd_u16(fmt + 2);
-  uint32_t rate = rd_u32(fmt + 4);
-  uint16_t bits = rd_u16(fmt + 14);
+  pw->rate = rd_u32(fmt + 4);
+  pw->bits = rd_u16(fmt + 14);
   if (format == 0xFFFE && fmt_size >= 26) format = rd_u16(fmt + 24);
   if (channels == 0) return kErrBadFormat;
+  pw->format = format;
 
-  int bytes_per_sample = bits / 8;
-  int stride = bytes_per_sample * channels;
-  if (stride == 0) return kErrBadFormat;
-  int64_t n_frames = static_cast<int64_t>(raw_size) / stride;
+  int bytes_per_sample = pw->bits / 8;
+  pw->stride = bytes_per_sample * channels;
+  if (pw->stride == 0) return kErrBadFormat;
+  pw->raw = raw;
+  pw->n_frames = static_cast<int64_t>(raw_size) / pw->stride;
+  return kOk;
+}
+
+int decode_one(const char* path, float* out, int64_t buffer_samples,
+               float* out_mean, int32_t* out_length, int32_t* out_rate) {
+  RawFile file;
+  if (!read_file(path, &file)) return kErrOpen;
+  ParsedWav pw;
+  int prc = parse_wav(file, &pw);
+  if (prc != kOk) return prc;
+  const uint8_t* raw = pw.raw;
+  uint16_t format = pw.format, bits = pw.bits;
+  uint32_t rate = pw.rate;
+  int stride = pw.stride;
+  int64_t n_frames = pw.n_frames;
   int64_t n_keep = n_frames < buffer_samples ? n_frames : buffer_samples;
 
   double sum = 0.0;
@@ -122,7 +148,7 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
     if (i < n_keep) out[i] = v;
   };
 
-  if (format == 1 && bits == 16 && channels == 1) {
+  if (format == 1 && bits == 16 && stride == 2) {  // mono PCM16
     // Fast path for the dominant format (AudioSet/FSD50K dumps are mono
     // PCM16): vectorizable convert+store, multi-accumulator double sum.
     // data chunks are word-aligned, so int16 loads are aligned.
@@ -195,6 +221,51 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
 }
 
 }  // namespace
+
+namespace pslanative {
+
+int decode_full(const char* path, std::vector<float>* out, int32_t* rate) {
+  RawFile file;
+  if (!read_file(path, &file)) return kErrOpen;
+  ParsedWav pw;
+  int prc = parse_wav(file, &pw);
+  if (prc != kOk) return prc;
+  out->resize(static_cast<size_t>(pw.n_frames));
+  float* o = out->data();
+  const uint8_t* raw = pw.raw;
+  const int stride = pw.stride;
+  if (pw.format == 1 && pw.bits == 16) {
+    constexpr float kScale = 1.0f / 32768.0f;
+    stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      o[i] = static_cast<float>(static_cast<int16_t>(rd_u16(p))) * kScale;
+    });
+  } else if (pw.format == 3 && pw.bits == 32) {
+    stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      std::memcpy(&o[i], p, 4);
+    });
+  } else if (pw.format == 1 && pw.bits == 8) {
+    stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      o[i] = (static_cast<float>(p[0]) - 128.0f) / 128.0f;
+    });
+  } else if (pw.format == 1 && pw.bits == 24) {
+    stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      int32_t v = static_cast<int32_t>(p[0]) | (static_cast<int32_t>(p[1]) << 8) |
+                  (static_cast<int32_t>(p[2]) << 16);
+      if (v >= (1 << 23)) v -= (1 << 24);
+      o[i] = static_cast<float>(v) / 8388608.0f;
+    });
+  } else if (pw.format == 1 && pw.bits == 32) {
+    stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      o[i] = static_cast<float>(static_cast<int32_t>(rd_u32(p))) / 2147483648.0f;
+    });
+  } else {
+    return kErrBadFormat;
+  }
+  if (rate) *rate = static_cast<int32_t>(pw.rate);
+  return kOk;
+}
+
+}  // namespace pslanative
 
 extern "C" {
 

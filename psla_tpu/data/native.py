@@ -23,7 +23,9 @@ import threading
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "csrc", "wavio.cc")
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "csrc")
+_SOURCES = ("wavio.cc", "resample.cc")
+_HEADERS = ("wavio.h",)
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
@@ -38,18 +40,23 @@ def _build_dir() -> str:
 
 
 def _compile() -> str | None:
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
+    csrc = os.path.abspath(_CSRC)
+    srcs = [os.path.join(csrc, s) for s in _SOURCES]
+    deps = srcs + [os.path.join(csrc, h) for h in _HEADERS]
+    if not all(os.path.exists(p) for p in deps):
         return None
-    with open(src, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    hasher = hashlib.sha256()
+    for p in deps:
+        with open(p, "rb") as f:
+            hasher.update(f.read())
+    tag = hasher.hexdigest()[:16]
     out = os.path.join(_build_dir(), f"libpslawav-{tag}.so")
     if os.path.exists(out):
         return out
     tmp = out + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
-        "-shared", "-fPIC", "-pthread", src, "-o", tmp,
+        "-shared", "-fPIC", "-pthread", *srcs, "-o", tmp,
     ]
     try:
         subprocess.run(
@@ -95,6 +102,20 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.c_int32,
                 ]
+                lib.psla_resample_batch.restype = ctypes.c_int
+                lib.psla_resample_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.c_int64,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32,
+                ]
                 _LIB = lib
             except OSError:
                 _LIB = None
@@ -137,6 +158,57 @@ def decode_batch(
         bad = [paths[i] for i in np.nonzero(status)[0][:5]]
         raise RuntimeError(f"native wav decode failed for {failures} clips, e.g. {bad}")
     return out, means, lengths
+
+
+RATE_MISMATCH = -10  # csrc/resample.cc kErrRateMismatch
+
+
+def resample_taps(up: int, down: int) -> np.ndarray:
+    """FIR taps with scipy.signal.resample_poly's exact design (kaiser-5
+    windowed sinc, half length 10*max(up,down), scaled by up) so the
+    native path is filter-identical to the scipy fallback."""
+    from scipy.signal import firwin
+
+    m = max(up, down)
+    half_len = 10 * m
+    return np.asarray(
+        firwin(2 * half_len + 1, 1.0 / m, window=("kaiser", 5.0)) * up,
+        np.float64,
+    )
+
+
+def resample_batch(
+    src_paths: list[str],
+    dst_paths: list[str],
+    in_rate: int,
+    out_rate: int,
+    n_threads: int = 8,
+) -> np.ndarray:
+    """Polyphase-resample WAV files src[i] -> dst[i] (PCM16 at out_rate)
+    on the C++ thread pool. Returns the per-file status array: 0 = done,
+    RATE_MISMATCH = file is not at in_rate (caller falls back per-file),
+    other nonzero = decode/write failure."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native resampler unavailable")
+    assert len(src_paths) == len(dst_paths)
+    from math import gcd
+
+    g = gcd(out_rate, in_rate)
+    up, down = out_rate // g, in_rate // g
+    taps = resample_taps(up, down)
+    n = len(src_paths)
+    status = np.zeros(n, dtype=np.int32)
+    src = (ctypes.c_char_p * n)(*[p.encode() for p in src_paths])
+    dst = (ctypes.c_char_p * n)(*[p.encode() for p in dst_paths])
+    lib.psla_resample_batch(
+        src, dst, n,
+        taps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(taps), up, down, in_rate, out_rate,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    return status
 
 
 def decode_one(path: str, buffer_samples: int) -> tuple[np.ndarray, float, int, int]:

@@ -39,13 +39,37 @@ def resample_to_16k(src: str, dst: str):
     write_wav(dst, np.clip(resample(wav, sr, 16000), -1.0, 1.0), 16000)
 
 
-def resample_dir(src_dir: str, dst_dir: str):
+def resample_dir(
+    src_dir: str, dst_dir: str, assumed_rate: int = 44100, n_threads: int = 8
+):
+    """Resample every WAV in src_dir to 16 kHz PCM16 in dst_dir.
+
+    Fast path: the native C++ polyphase batch resampler (csrc/resample.cc,
+    filter-identical to the scipy path) with `assumed_rate` taps — FSD50K
+    ships 44.1 kHz audio. Files at any other rate (or native failures)
+    fall back to the per-file scipy path, which reads the actual rate.
+    """
+    from psla_tpu.data import native
+
     os.makedirs(dst_dir, exist_ok=True)
-    files = [f for f in os.listdir(src_dir) if f.endswith(".wav")]
-    for i, f in enumerate(files):
-        resample_to_16k(os.path.join(src_dir, f), os.path.join(dst_dir, f))
-        if (i + 1) % 1000 == 0:
-            print(f"resampled {i + 1}/{len(files)}")
+    files = sorted(f for f in os.listdir(src_dir) if f.endswith(".wav"))
+    srcs = [os.path.join(src_dir, f) for f in files]
+    dsts = [os.path.join(dst_dir, f) for f in files]
+    leftover = list(range(len(files)))
+    if files and native.available():
+        status = native.resample_batch(
+            srcs, dsts, in_rate=assumed_rate, out_rate=16000,
+            n_threads=n_threads,
+        )
+        leftover = [i for i in leftover if status[i] != 0]
+        print(
+            f"native resampler: {len(files) - len(leftover)}/{len(files)} "
+            f"done, {len(leftover)} via fallback"
+        )
+    for k, i in enumerate(leftover):
+        resample_to_16k(srcs[i], dsts[i])
+        if (k + 1) % 1000 == 0:
+            print(f"resampled {k + 1}/{len(leftover)}")
 
 
 def build_datafiles(

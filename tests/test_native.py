@@ -103,3 +103,68 @@ def test_decode_one_reports_rate(tmp_path):
 def test_missing_file_raises(tmp_path):
     with pytest.raises(RuntimeError):
         native.decode_batch([str(tmp_path / "nope.wav")], 100)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_resample_batch_matches_scipy(tmp_path):
+    """Native polyphase resampler (csrc/resample.cc) vs the scipy path:
+    same filter (taps designed Python-side), same output length, samples
+    within 1 PCM16 LSB (f32-vs-f64 accumulation at rounding boundaries)."""
+    from psla_tpu.tools.prep_fsd import resample_to_16k
+
+    rng = np.random.default_rng(0)
+    cases = [(44100, 66150), (48000, 96000), (22050, 22051), (44100, 441)]
+    srcs, dsts, refs = [], [], []
+    for j, (sr, n) in enumerate(cases):
+        wav = np.clip(0.5 * rng.standard_normal(n), -1, 1).astype(np.float32)
+        s = str(tmp_path / f"in{j}.wav")
+        write_wav(s, wav, sr)
+        srcs.append(s)
+        dsts.append(str(tmp_path / f"out{j}.wav"))
+        r = str(tmp_path / f"ref{j}.wav")
+        resample_to_16k(s, r)
+        refs.append(r)
+
+    # 44.1k batch: matching files resampled, others flagged for fallback
+    status = native.resample_batch(srcs, dsts, 44100, 16000, n_threads=4)
+    assert status[0] == 0 and status[3] == 0
+    assert status[1] == native.RATE_MISMATCH
+    assert status[2] == native.RATE_MISMATCH
+
+    def check(j):
+        got, r1 = read_wav(dsts[j])
+        ref, r2 = read_wav(refs[j])
+        assert r1 == r2 == 16000
+        assert got.shape == ref.shape
+        assert np.max(np.abs(got - ref)) * 32767 <= 1.0
+
+    check(0)
+    check(3)
+    for j, rate in ((1, 48000), (2, 22050)):
+        st = native.resample_batch([srcs[j]], [dsts[j]], rate, 16000)
+        assert st[0] == 0
+        check(j)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_resample_dir_uses_native_with_fallback(tmp_path):
+    """prep_fsd.resample_dir: native fast path plus scipy fallback for
+    files at an unexpected rate, identical outputs either way."""
+    from psla_tpu.tools import prep_fsd
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "src"
+    src.mkdir()
+    write_wav(
+        str(src / "a.wav"),
+        np.clip(0.5 * rng.standard_normal(44100), -1, 1), 44100,
+    )
+    write_wav(
+        str(src / "b.wav"),
+        np.clip(0.5 * rng.standard_normal(48000), -1, 1), 48000,
+    )
+    dst = tmp_path / "dst"
+    prep_fsd.resample_dir(str(src), str(dst))
+    for name, n_out in (("a.wav", 16000), ("b.wav", 16000)):
+        got, rate = read_wav(str(dst / name))
+        assert rate == 16000 and len(got) == n_out
