@@ -124,6 +124,98 @@ def run(batch_size: int = 64, steps: int = 40):
     return clips_per_sec, loss_sum / steps
 
 
+def run_eval(batch_size: int = 128, steps: int = 40):
+    """Secondary metric (--eval): inference throughput — on-device eval
+    preprocessing (fbank + normalize, no augmentation) + bf16 forward to
+    class probabilities. Baseline: the reference's validate loop is
+    forward-only over the same model; ~3x its training rate per GPU
+    (~74 clips/s/GPU) is used as the comparison point."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.models import create_model
+    from psla_tpu.train.state import TrainState
+    from psla_tpu.train.step import build_eval_step, tpu_compiler_options
+
+    cfg = ExperimentConfig(dtype="bfloat16", batch_size=batch_size)
+    pre = cfg.preprocess_config()
+    model = create_model(
+        cfg.model, label_dim=cfg.n_class, eff_b=cfg.eff_b,
+        head_num=cfg.att_head, dtype=jnp.bfloat16,
+    )
+    example = jnp.zeros((1, cfg.target_length, cfg.num_mel_bins), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, example, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), opt_state=(),
+    )
+    from psla_tpu.frontend.pipeline import WavBatch, preprocess_eval
+
+    eval_cfg = pre.eval_variant()
+
+    stacked = jax.device_put(
+        jax.tree.map(
+            lambda *xs: np.stack(xs),
+            _make_batch(batch_size, pre, 0),
+            _make_batch(batch_size, pre, 1),
+        )
+    )
+
+    def fwd(state, batch):
+        wb = WavBatch(**{k: batch[k] for k in (
+            "wav", "wav_mean", "length", "labels",
+            "mix_wav", "mix_wav_mean", "mix_length", "mix_labels")})
+        fbank = preprocess_eval(wb, eval_cfg)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            fbank, train=False,
+        )
+        return out
+
+    @functools.partial(
+        jax.jit, static_argnames=("n",),
+        compiler_options=tpu_compiler_options(),
+    )
+    def multi(state, stacked, n):
+        def body(acc, i):
+            batch = jax.tree.map(lambda x: x[i % 2], stacked)
+            return acc + jnp.sum(fwd(state, batch).astype(jnp.float32)), None
+
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0]
+
+    short = max(2, steps // 8)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(multi(state, stacked, n))  # sync by transfer (see run())
+        return time.perf_counter() - t0
+
+    timed(short)
+    timed(steps)
+    t_short = timed(short)
+    t_long = timed(steps)
+    dt = (t_long - t_short) / (steps - short)
+    clips = batch_size / dt
+    ref_eval_per_gpu = 3 * BASELINE_CLIPS_PER_SEC_PER_GPU
+    print(
+        json.dumps(
+            {
+                "metric": "eval_clips_per_sec_per_chip",
+                "value": round(clips, 0),
+                "unit": "clips/s (inference: on-device fbank + bf16 forward, "
+                "B=%d; baseline = est. reference eval 3x its train rate)"
+                % batch_size,
+                "vs_baseline": round(clips / ref_eval_per_gpu, 1),
+            }
+        )
+    )
+
+
 def run_fbank(batch_size: int = 128, steps: int = 60):
     """Secondary metric (--fbank): fused Pallas fbank kernel throughput.
 
@@ -258,6 +350,9 @@ def run_loader(n_clips: int = 512, batch_size: int = 64):
 def main():
     import sys
 
+    if "--eval" in sys.argv:
+        run_eval()
+        return
     if "--fbank" in sys.argv:
         run_fbank()
         return
