@@ -113,3 +113,23 @@ def test_wa_checkpoint_loadable(trained):
     stats, loss = trainer.validate(wa_state, trainer.val_loader, "wa_check")
     assert np.isfinite(loss)
     assert len(stats) == 4
+
+
+def test_profile_trace_written(corpus, tmp_path_factory):
+    """config.profile_steps captures a jax.profiler trace window into
+    {exp_dir}/profile (SURVEY §5.1 observability beyond the reference's
+    wall-clock meters)."""
+    exp_dir = str(tmp_path_factory.mktemp("exp_prof"))
+    trainer = _make_trainer(
+        corpus, exp_dir, n_epochs=1, wa=False,
+        profile_steps=1, profile_start_step=1,
+    )
+    trainer.train()
+    prof_dir = os.path.join(exp_dir, "profile")
+    assert os.path.isdir(prof_dir)
+    traces = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(prof_dir)
+        for f in files
+    ]
+    assert traces, "no trace files written"
