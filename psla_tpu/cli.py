@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", type=_bool, default=None,
                    help="rematerialize MBConv blocks in backward (~3x lower "
                         "peak activation memory for ~18%% step time)")
+    p.add_argument("--tensorboard", type=_bool, default=None,
+                   help="write per-epoch scalars to {exp_dir}/tb")
     p.add_argument("--profile-steps", type=int, default=None,
                    help="capture a jax.profiler trace of this many train "
                         "steps into {exp_dir}/profile")
@@ -116,7 +118,8 @@ _ARG_TO_FIELD = {
     "bal": "bal", "wa": "wa", "wa_start": "wa_start", "wa_end": "wa_end",
     "save_model": "save_model", "seed": "seed", "num_devices": "num_devices",
     "fbank_method": "fbank_method", "fbank_precision": "fbank_precision",
-    "remat": "remat", "profile_steps": "profile_steps",
+    "remat": "remat", "tensorboard": "tensorboard",
+    "profile_steps": "profile_steps",
     "profile_start_step": "profile_start_step",
 }
 

@@ -89,6 +89,10 @@ class ExperimentConfig:
     # AverageMeters, traintest.py:26-31)
     profile_steps: int = 0
     profile_start_step: int = 5
+    # write per-epoch scalars (losses, mAP/AUC/d', lr, timing meters) to
+    # {exp_dir}/tb for tensorboard, alongside the reference-style
+    # result.csv artifacts. Rank 0 only; needs the tensorboard package.
+    tensorboard: bool = False
 
     def preprocess_config(self) -> PreprocessConfig:
         return PreprocessConfig(

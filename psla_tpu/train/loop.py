@@ -97,6 +97,34 @@ class Trainer:
         self.rng = jax.random.PRNGKey(config.seed)
         self._ckpt = ocp.PyTreeCheckpointer()
         self._profiling = False
+        self._tb = None
+
+    # ------------------------------------------------------ tensorboard
+
+    def _tb_writer(self):
+        """Lazy SummaryWriter into {exp_dir}/tb (config.tensorboard,
+        rank 0 only). Returns None when disabled or unavailable."""
+        if not self.config.tensorboard or not is_primary():
+            return None
+        if self._tb is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except ImportError:
+                print("tensorboard requested but not importable; skipping")
+                self.config = dataclasses.replace(
+                    self.config, tensorboard=False
+                )
+                return None
+            self._tb = SummaryWriter(os.path.join(self.exp_dir, "tb"))
+        return self._tb
+
+    def _tb_epoch(self, epoch: int, scalars: dict):
+        tb = self._tb_writer()
+        if tb is None:
+            return
+        for k, v in scalars.items():
+            tb.add_scalar(k, v, epoch)
+        tb.flush()
 
     # ------------------------------------------------------------- state
 
@@ -342,6 +370,18 @@ class Trainer:
             ]
             if is_primary():
                 np.savetxt(result_path, result_rows, delimiter=",")
+            self._tb_epoch(epoch, {
+                "loss/train": meters["loss"].avg,
+                "loss/valid": valid_loss,
+                f"val/{cfg.metrics}": main,
+                "val/AUC": mAUC,
+                "val/d_prime": d_prime(mAUC),
+                f"ensemble/{cfg.metrics}": ens_main,
+                "lr": cur_lr,
+                "time/per_sample_total": meters["per_sample_time"].avg,
+                "time/per_sample_data": meters["per_sample_data_time"].avg,
+                "time/per_sample_dnn": meters["per_sample_dnn_time"].avg,
+            })
 
             if main > progress["best_metric"]:
                 progress["best_metric"] = main
@@ -372,6 +412,8 @@ class Trainer:
 
         if cfg.wa:
             self.weight_average(cfg.wa_start, cfg.wa_end)
+        if self._tb is not None:
+            self._tb.close()
         return state
 
     # ---------------------------------------------------------- validation

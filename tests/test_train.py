@@ -133,3 +133,18 @@ def test_profile_trace_written(corpus, tmp_path_factory):
         for f in files
     ]
     assert traces, "no trace files written"
+
+
+def test_tensorboard_scalars_written(corpus, tmp_path_factory):
+    """config.tensorboard mirrors the result.csv metrics as TB scalars
+    in {exp_dir}/tb (observability beyond the reference's print+CSV)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    exp_dir = str(tmp_path_factory.mktemp("exp_tb"))
+    trainer = _make_trainer(
+        corpus, exp_dir, n_epochs=1, wa=False, tensorboard=True,
+    )
+    trainer.train()
+    tb_dir = os.path.join(exp_dir, "tb")
+    assert os.path.isdir(tb_dir)
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, os.listdir(tb_dir)
