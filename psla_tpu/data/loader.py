@@ -84,9 +84,17 @@ class AudioLoader:
         else:
             self._sampler = None
             self._sequential = True
+        self._seed = seed
         self._mix_rng = np.random.default_rng(seed + 7919)
+        self._epoch: int | None = None
         self._pool = ThreadPoolExecutor(max_workers=config.num_workers)
         self._native = native.available()
+
+    def set_epoch(self, epoch: int):
+        """Pin the next iteration's sampling + mixup-partner draws to a
+        pure function of (seed, epoch) (torch DistributedSampler-style),
+        so a resumed run reproduces the original epoch's batches exactly."""
+        self._epoch = epoch
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.datafile)
@@ -96,19 +104,25 @@ class AudioLoader:
         # samplers draw a full local epoch; for multi-host training each
         # host draws len/num_hosts samples from the full distribution
         per_host = n // self.config.num_hosts if self.config.num_hosts > 1 else n
-        return self._sampler.epoch(per_host)
+        return self._sampler.epoch(per_host, epoch=self._epoch)
 
     def batches_per_epoch(self) -> int:
-        n = len(self._epoch_indices_static())
+        n = self._shard_rows()
         bs = self.config.batch_size
         return n // bs if self.config.drop_remainder else -(-n // bs)
 
-    def _epoch_indices_static(self) -> np.ndarray:
+    def _shard_rows(self) -> int:
+        """Per-host row count used for batch-count math. Sequential
+        multi-host shards use ceil(n / num_hosts) on EVERY host — equal
+        batch counts are required because multi-host validate issues
+        collectives per batch (hosts with fewer rows emit all-padding
+        n_valid=0 batches instead of exiting the loop early, which would
+        deadlock the pod)."""
+        cfg = self.config
         n = len(self.datafile)
         if self._sequential:
-            return np.arange(self.config.host_id, n, self.config.num_hosts)
-        per_host = n // self.config.num_hosts if self.config.num_hosts > 1 else n
-        return np.arange(per_host)
+            return -(-n // cfg.num_hosts) if cfg.num_hosts > 1 else n
+        return n // cfg.num_hosts if cfg.num_hosts > 1 else n
 
     def _decode_paths(self, paths: list[str]):
         """Batch decode: native C++ thread pool (one GIL-free ctypes call)
@@ -160,27 +174,53 @@ class AudioLoader:
 
     def __iter__(self):
         cfg = self.config
+        if self._epoch is not None:
+            # mixup partners become a pure function of (seed, epoch) too
+            self._mix_rng = np.random.default_rng(
+                (self._seed + 7919, self._epoch)
+            )
         idxs = self._epoch_indices()
         bs = cfg.batch_size
-        n_batches = len(idxs) // bs if cfg.drop_remainder else -(-len(idxs) // bs)
+        # batch count comes from the host-uniform shard size, not the local
+        # index count (see _shard_rows): a host whose sequential shard is
+        # one row shorter still emits the same number of batches, with the
+        # surplus rows marked invalid
+        rows = self._shard_rows()
+        n_batches = rows // bs if cfg.drop_remainder else -(-rows // bs)
 
         q: queue.Queue = queue.Queue(maxsize=cfg.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # never block forever: an abandoned consumer (early break, NaN
+            # abort) sets `stop`, and the producer must notice even while
+            # the queue is full
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
+                filler = idxs[-1] if len(idxs) else 0
                 for b in range(n_batches):
                     if stop.is_set():
                         return
                     chunk = idxs[b * bs : (b + 1) * bs]
                     n_valid = len(chunk)
-                    if n_valid < bs:  # pad final batch by repeating last item
-                        chunk = np.r_[chunk, np.full(bs - n_valid, chunk[-1])]
-                    q.put(self._build_batch(chunk, n_valid))
+                    if n_valid < bs:  # pad (possibly empty) final batches
+                        chunk = np.r_[chunk, np.full(bs - n_valid, filler)]
+                    if not put(self._build_batch(chunk.astype(np.int64), n_valid)):
+                        return
             finally:
-                q.put(None)
+                put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(
+            target=producer, daemon=True, name="psla-loader-producer"
+        )
         t.start()
         try:
             while True:
@@ -190,3 +230,9 @@ class AudioLoader:
                 yield item
         finally:
             stop.set()
+            # drain so a producer blocked mid-put can observe `stop`
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -45,12 +45,22 @@ class WeightedSampler:
         w = np.asarray(weights, dtype=np.float64)
         assert np.all(w >= 0) and w.sum() > 0
         self._p = w / w.sum()
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._n = len(w)
 
-    def epoch(self, num_samples: int | None = None) -> np.ndarray:
+    def epoch(
+        self, num_samples: int | None = None, epoch: int | None = None
+    ) -> np.ndarray:
+        """One epoch of draws. With `epoch` given, the draw is a pure
+        function of (seed, epoch) — required for reproducible mid-run
+        resume; without it, the legacy stateful stream is used."""
         n = self._n if num_samples is None else num_samples
-        return self._rng.choice(self._n, size=n, replace=True, p=self._p)
+        rng = (
+            self._rng if epoch is None
+            else np.random.default_rng((self._seed, epoch))
+        )
+        return rng.choice(self._n, size=n, replace=True, p=self._p)
 
 
 class UniformSampler:
@@ -59,10 +69,17 @@ class UniformSampler:
 
     def __init__(self, n: int, seed: int = 0):
         self._n = n
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
-    def epoch(self, num_samples: int | None = None) -> np.ndarray:
-        perm = self._rng.permutation(self._n)
+    def epoch(
+        self, num_samples: int | None = None, epoch: int | None = None
+    ) -> np.ndarray:
+        rng = (
+            self._rng if epoch is None
+            else np.random.default_rng((self._seed, epoch))
+        )
+        perm = rng.permutation(self._n)
         if num_samples is not None:
             perm = perm[:num_samples]
         return perm

@@ -5,9 +5,9 @@ Reproduces the semantics of the reference's CPU dataloader augmentations
 ``jax.random`` keys so they fuse into the jitted preprocessing graph:
 
   * SpecAugment — one frequency mask + one time mask per sample, matching
-    ``torchaudio.transforms.FrequencyMasking/TimeMasking``: mask width is
-    a *continuous* uniform draw in [0, mask_param), start uniform in
-    [0, dim - width), masked bins set to 0 (audioset_dataset.py:176-188).
+    ``torchaudio.transforms.FrequencyMasking/TimeMasking``: continuous
+    uniform draws floored to an integer start/width (see _mask_axis),
+    masked bins set to 0 (audioset_dataset.py:176-188).
   * Mixup — waveform-domain mixing with lambda ~ Beta(10, 10)
     (audioset_dataset.py:111-117); partner waveforms are supplied by the
     host pipeline (uniformly sampled over the dataset, matching
@@ -30,15 +30,19 @@ def _mask_axis(
     """One torchaudio-style mask over an axis of length `size`.
 
     Returns a float32 keep-mask of shape [size] (1 = keep, 0 = masked).
-    Width value = u1 * mask_param, start = u2 * (size - value); bins with
-    start <= idx < start + value are masked — identical in distribution to
-    torchaudio.functional.mask_along_axis.
+    Exactly torchaudio.functional.mask_along_axis: draw value ~ U(0,
+    mask_param) and min_value ~ U(0, size - value) as continuous numbers,
+    then mask the INTEGER range [floor(min_value), floor(min_value) +
+    floor(value)) — the floors matter (masked width is floor(value), so
+    e.g. value=0.9 masks nothing), not just the continuous interval.
     """
     k1, k2 = jax.random.split(key)
     value = jax.random.uniform(k1) * mask_param
     min_value = jax.random.uniform(k2) * (size - value)
+    start = jnp.floor(min_value)
+    width = jnp.floor(value)
     idx = jnp.arange(size, dtype=jnp.float32)
-    masked = (idx >= min_value) & (idx < min_value + value)
+    masked = (idx >= start) & (idx < start + width)
     return jnp.where(masked, 0.0, 1.0)
 
 

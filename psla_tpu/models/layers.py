@@ -47,14 +47,8 @@ def drop_connect(
     return jnp.where(keep, x / keep_prob, 0.0)
 
 
-def psla_head_init(key, shape, dtype=jnp.float32):
-    """Uniform(-a, a) with a = sqrt(3) * sqrt(2 / fan_in): the pooling-head
-    initializer used by the reference (HigherModels.py:6-18)."""
-    fan_in = shape[0] if len(shape) == 2 else int(jnp.prod(jnp.array(shape[:-1])))
-    scale = math.sqrt(2.0 / fan_in) * math.sqrt(3.0)
-    return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
-
-
+# (the pooling-head init from HigherModels.py:6-18 lives in
+# models/pooling.py as _psla_uniform, next to its only users)
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 dense_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 

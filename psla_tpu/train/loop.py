@@ -35,7 +35,6 @@ from psla_tpu.config import ExperimentConfig
 from psla_tpu.data.loader import AudioLoader
 from psla_tpu.metrics import calculate_stats, d_prime
 from psla_tpu.models import create_model
-from psla_tpu.models.convert import load_pth
 from psla_tpu.parallel.distributed import (
     allgather_host,
     is_primary,
@@ -133,11 +132,16 @@ class Trainer:
         example = jnp.zeros(
             (1, cfg.target_length, cfg.num_mel_bins), jnp.float32
         )
-        init_key, self.rng = jax.random.split(self.rng)
+        # fixed derivation (not stateful splitting): init and train keys
+        # must not depend on whether init_state ran, or a resumed run's
+        # augmentation/dropout stream would diverge from the original
+        init_key = jax.random.fold_in(self.rng, 0)
         variables = self.model.init(init_key, example, train=False)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
         if cfg.pretrained_ckpt:
-            params, batch_stats = self._load_pretrained(cfg.pretrained_ckpt, params)
+            params, batch_stats = self._load_pretrained(
+                cfg.pretrained_ckpt, variables
+            )
         opt_state = self.tx.init(params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -149,11 +153,14 @@ class Trainer:
             state, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
         )
 
-    def _load_pretrained(self, path: str, init_params):
+    def _load_pretrained(self, path: str, init_variables):
+        """init_variables: the freshly initialized model variables — reused
+        for backbone-only checkpoints (pretrained effnet + fresh head)."""
         if path.endswith(".pth"):
             import torch
 
             from psla_tpu.models.convert import (
+                convert_checkpoint,
                 convert_imagenet_backbone,
                 normalize_state_dict,
             )
@@ -165,17 +172,10 @@ class Trainer:
             if self.config.model == "efficientnet" and not has_head:
                 # ImageNet backbone-only checkpoint (PSLA's "P"): pretrained
                 # effnet + fresh pooling head from the model init
-                example = jnp.zeros(
-                    (1, self.config.target_length, self.config.num_mel_bins),
-                    jnp.float32,
-                )
-                init_vars = self.model.init(
-                    jax.random.PRNGKey(self.config.seed), example, train=False
-                )
-                variables = convert_imagenet_backbone(sd, init_vars)
+                variables = convert_imagenet_backbone(sd, init_variables)
             else:
-                variables = load_pth(
-                    path, self.config.model, self.config.n_class
+                variables = convert_checkpoint(
+                    sd, self.config.model, self.config.n_class
                 )
         else:
             variables = self._ckpt.restore(os.path.abspath(path))
@@ -189,18 +189,27 @@ class Trainer:
         return os.path.join(self.exp_dir, "models", str(tag))
 
     def save_checkpoint(self, state: TrainState, tag):
-        path = self._ckpt_dir(tag)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        self._ckpt.save(
-            path,
-            {
-                "step": np.asarray(state.step),
-                "params": jax.tree.map(np.asarray, state.params),
-                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-                "opt_state": jax.tree.map(np.asarray, state.opt_state),
-            },
-        )
+        # state is replicated, so rank 0 writes alone — concurrent
+        # same-path rmtree+save from every host would race on a shared
+        # exp_dir. The barrier keeps other hosts from reading (resume,
+        # weight averaging) a checkpoint that is still being written.
+        if is_primary():
+            path = self._ckpt_dir(tag)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            self._ckpt.save(
+                path,
+                {
+                    "step": np.asarray(state.step),
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                    "opt_state": jax.tree.map(np.asarray, state.opt_state),
+                },
+            )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"psla_ckpt_{tag}")
 
     def restore_checkpoint(self, tag) -> TrainState:
         tree = self._ckpt.restore(self._ckpt_dir(tag))
@@ -273,7 +282,7 @@ class Trainer:
 
     def train(self, resume: bool = False) -> TrainState:
         cfg = self.config
-        progress = self._load_progress() if resume else self._load_progress()
+        progress = self._load_progress()
         if resume and progress["epoch"] > 0:
             state = self.restore_checkpoint(f"epoch_{progress['epoch']}")
             print(f"resumed from epoch {progress['epoch']}")
@@ -295,43 +304,64 @@ class Trainer:
             result_rows[: prev.shape[0]] = prev[: cfg.n_epochs]
 
         start_time = time.time()
-        rng = self.rng
+        # deterministic train stream: per-step keys are fold_in(rng, step)
+        # in the train step, and step is restored from the checkpoint, so a
+        # resumed run reproduces the original run's RNG draws exactly
+        rng = jax.random.fold_in(self.rng, 1)
         for epoch in range(progress["epoch"] + 1, cfg.n_epochs + 1):
             epoch_begin = time.time()
+            # epoch-keyed sampling: a resumed run replays the exact batch
+            # sequence the uninterrupted run would have seen
+            self.train_loader.set_epoch(epoch)
             meters = {
                 k: AverageMeter()
                 for k in ("per_sample_time", "per_sample_data_time",
                           "per_sample_dnn_time", "loss")
             }
             end_time = time.time()
+            # gstep is tracked host-side: fetching int(state.step) or the
+            # loss every iteration would force a device sync per step and
+            # forfeit async dispatch (on the tunneled backend that is a
+            # ~200 ms round trip per step). Losses stay on device and are
+            # fetched once per epoch; the NaN-divergence check runs at
+            # print steps, matching the reference (traintest.py:129-131).
+            gstep = progress["global_step"]
+            epoch_losses = []
             for i, host_batch in enumerate(self.train_loader):
                 bs = int(host_batch["n_valid"])
                 batch = make_global_batch(host_batch, self.mesh)
                 data_t = time.time() - end_time
                 dnn_start = time.time()
-                self._profile_tick(int(state.step))
+                self._profile_tick(gstep)
                 state, metrics = self.train_step(state, batch, rng)
-                loss = float(metrics["loss"])
+                epoch_losses.append(metrics["loss"])
+                gstep += 1
                 now = time.time()
-                meters["loss"].update(loss, bs)
                 meters["per_sample_data_time"].update(data_t / bs, bs)
                 meters["per_sample_dnn_time"].update((now - dnn_start) / bs, bs)
                 meters["per_sample_time"].update((now - end_time) / bs, bs)
-                gstep = int(state.step)
                 if gstep % cfg.n_print_steps == 0 and gstep != 0:
+                    loss = float(metrics["loss"])  # syncs — print steps only
+                    meters["loss"].update(loss, bs)
                     print(
                         f"Epoch: [{epoch}][{i}/{self.steps_per_epoch}]  "
                         f"per-sample total {meters['per_sample_time'].avg:.5f}  "
                         f"data {meters['per_sample_data_time'].avg:.5f}  "
                         f"dnn {meters['per_sample_dnn_time'].avg:.5f}  "
-                        f"loss {meters['loss'].avg:.4f}",
+                        f"loss {loss:.4f}",
                         flush=True,
                     )
-                    if np.isnan(meters["loss"].avg):
+                    if np.isnan(loss):
                         print("training diverged...")
                         return state
                 end_time = time.time()
             self._profile_flush()
+            if epoch_losses:  # one sync per epoch for the exact mean
+                meters["loss"].reset()
+                meters["loss"].update(
+                    float(np.mean(np.asarray(jax.device_get(epoch_losses)))),
+                    len(epoch_losses),
+                )
 
             # ---------------- validation + artifacts (traintest.py:136-200)
             stats, valid_loss = self.validate(state, self.val_loader, epoch)

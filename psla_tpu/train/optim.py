@@ -46,6 +46,10 @@ def psla_lr_schedule(
         n_decays = jnp.where(past < 0, 0, past // milestone_stride + 1)
         lr = base_lr * lrscheduler_decay ** n_decays
         if warmup:
+            # staircase INCLUDES lr=0 for steps 0-49: the reference's
+            # warmup branch fires at global_step=0 (0 % 50 == 0,
+            # traintest.py:92-96), setting warm_lr=0 which persists until
+            # step 50 — the first 50 updates really are no-ops there too.
             warm_frac = (
                 (jnp.minimum(step, warmup_steps) // warmup_update_every)
                 * warmup_update_every

@@ -159,3 +159,60 @@ def test_loader_eval_sequential_sharding(tmp_path):
             seen.extend(b["labels"][: b["n_valid"]].argmax(1).tolist())
     # both hosts together cover all 10 clips exactly once
     assert len(seen) == 10
+
+
+def test_loader_eval_sharding_equal_batch_counts(tmp_path):
+    """Sequential multi-host shards must yield IDENTICAL batch counts on
+    every host (multi-host validate issues collectives per batch; a host
+    exiting the loop early deadlocks the pod). Surplus slots are emitted
+    as padding with n_valid < batch_size, possibly n_valid == 0."""
+    datafile, label_csv = build_corpus(
+        str(tmp_path), num_classes=1, clips_per_class=9, seconds=0.3,
+    )
+    df = load_datafile(datafile, label_csv)  # n=9
+    counts, valids = [], []
+    for host in range(2):
+        cfg = LoaderConfig(
+            batch_size=4, buffer_samples=4800, num_workers=1,
+            drop_remainder=False, host_id=host, num_hosts=2,
+        )
+        loader = AudioLoader(df, cfg, shuffle=False)
+        assert loader.batches_per_epoch() == 2  # ceil(ceil(9/2)/4) both
+        batches = list(loader)
+        counts.append(len(batches))
+        valids.append([int(b["n_valid"]) for b in batches])
+    assert counts == [2, 2]
+    # host 0 has 5 rows (4+1), host 1 has 4 rows (4+0-valid pad batch)
+    assert valids[0] == [4, 1]
+    assert valids[1] == [4, 0]
+
+
+def test_loader_abandoned_iteration_stops_producer(tmp_path):
+    """Breaking out of iteration early must not leave the producer thread
+    blocked in q.put forever (NaN-abort / early-exit path)."""
+    import threading
+    import time as _time
+
+    datafile, label_csv = build_corpus(
+        str(tmp_path), num_classes=2, clips_per_class=8, seconds=0.3
+    )
+    df = load_datafile(datafile, label_csv)
+
+    def producer_threads():
+        return [
+            t for t in threading.enumerate()
+            if t.name == "psla-loader-producer" and t.is_alive()
+        ]
+
+    loader = AudioLoader(
+        df,
+        LoaderConfig(batch_size=2, buffer_samples=4800, num_workers=1,
+                     prefetch=1),
+    )
+    for _ in range(3):
+        for batch in loader:
+            break  # abandon immediately with the queue full
+    deadline = _time.time() + 5.0
+    while producer_threads() and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert not producer_threads(), "producer thread(s) leaked after break"

@@ -7,6 +7,7 @@ checkpoint-ensemble accumulation, weight averaging, and true resume.
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -148,3 +149,25 @@ def test_tensorboard_scalars_written(corpus, tmp_path_factory):
     assert os.path.isdir(tb_dir)
     events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
     assert events, os.listdir(tb_dir)
+
+
+def test_resume_reproduces_uninterrupted_run(corpus, tmp_path_factory):
+    """A 1-epoch run resumed for a 2nd epoch must equal a fresh 2-epoch
+    run exactly: per-step RNG keys derive from (seed, restored step) and
+    sampling/mixup draws are epoch-keyed, so the trajectories coincide."""
+    exp_a = str(tmp_path_factory.mktemp("exp_norestart"))
+    state_a = _make_trainer(corpus, exp_a, n_epochs=2, wa=False).train()
+
+    exp_b = str(tmp_path_factory.mktemp("exp_restart"))
+    _make_trainer(corpus, exp_b, n_epochs=1, wa=False).train()
+    state_b = _make_trainer(corpus, exp_b, n_epochs=2, wa=False).train(
+        resume=True
+    )
+
+    assert int(state_a.step) == int(state_b.step)
+    leaves_a = jax.tree.leaves(state_a.params)
+    leaves_b = jax.tree.leaves(state_b.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0
+        )
