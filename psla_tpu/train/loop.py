@@ -5,7 +5,10 @@ steps: per-epoch train + validate, running checkpoint-ensemble of
 prediction CSVs, 10-column result.csv rows, best/per-epoch checkpoints
 (orbax), NaN-divergence abort, per-sample data/DNN timing meters, and
 end-of-training weight averaging. Adds what the reference lacks
-(SURVEY.md §5.4): true mid-run resume (step/epoch/optimizer/rng restore).
+(SURVEY.md §5.4): bit-exact mid-run resume — step/optimizer state restore
+plus deterministic RNG (fold_in-derived keys) and epoch-keyed sampling,
+so a resumed run replays the uninterrupted run's trajectory exactly
+(tested to atol=0 in tests/test_train.py).
 
 Artifact layout under exp_dir mirrors the reference:
   result.csv, wa_result.csv, stats_{epoch}.pickle, progress.json,
