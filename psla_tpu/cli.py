@@ -178,7 +178,8 @@ def make_loaders(cfg: ExperimentConfig):
     return train_loader, val_loader, eval_loader
 
 
-def main(argv=None):
+def run(argv=None):
+    """Library entry: parse, train, and return the post-training summary."""
     from psla_tpu.parallel.distributed import maybe_initialize
 
     maybe_initialize()  # no-op unless launched on a pod / with a coordinator
@@ -195,5 +196,13 @@ def main(argv=None):
     return post_training_summary(trainer, eval_loader)
 
 
+def main(argv=None) -> int:
+    """Console entry point (`psla-train`): setuptools wraps this in
+    sys.exit(), so it must return 0/None on success — returning the
+    summary dict would make every successful run exit with status 1."""
+    run(argv)
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(0 if main() is not None else 1)
+    sys.exit(main())

@@ -118,7 +118,13 @@ def predict_long(
         if supports_stats:
             try:
                 st = apply_stats(variables, logmel)
-            except TypeError:
+            except TypeError as e:
+                # only treat "this model has no return_stats kwarg" as the
+                # degrade signal; any other TypeError is a real bug in the
+                # model and silently switching to the approximate
+                # frame-averaging path would mask it
+                if "return_stats" not in str(e):
+                    raise
                 supports_stats = False
         if supports_stats:
             # fold the batch axis into the chunk axis (head_weight is a

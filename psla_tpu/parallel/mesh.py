@@ -32,6 +32,11 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
+            if num_devices > len(devices):
+                raise ValueError(
+                    f"requested num_devices={num_devices} but only "
+                    f"{len(devices)} devices are visible"
+                )
             devices = devices[:num_devices]
     devices = np.asarray(devices)
     if ensemble > 1:

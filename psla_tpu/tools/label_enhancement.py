@@ -29,6 +29,7 @@ output; the reference serializes an unordered set (fix_type1.py:75).
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -191,7 +192,9 @@ def run_enhancement(
     target = np.loadtxt(target_csv, delimiter=",")
     thresholds = positive_score_thresholds(pred, target)
 
-    stem = datafile_json[:-5]
+    stem, ext = os.path.splitext(datafile_json)
+    if ext.lower() != ".json":  # keep odd extensions in the stem
+        stem = datafile_json
     written: dict[str, dict[str, str]] = {"type1": {}, "type2": {}, "type1_2": {}}
     need_t1 = "type1" in kinds or "type1_2" in kinds
     need_t2 = "type2" in kinds or "type1_2" in kinds
@@ -256,7 +259,8 @@ def main(argv=None):
                    help="model predictions CSV on the TRAIN set")
     p.add_argument("--target", default=None, help="target CSV (multi-hot)")
     p.add_argument("--dataset", default="audioset")
-    p.add_argument("--thresholds", nargs="+", default=list(THRESHOLD_KINDS))
+    p.add_argument("--thresholds", nargs="+", choices=list(THRESHOLD_KINDS),
+                   default=list(THRESHOLD_KINDS))
     p.add_argument("--no-weights", action="store_true")
     p.add_argument("--parent-mid", default="/m/09x0r",
                    help="[check] parent class mid (default: Speech, the "

@@ -46,9 +46,12 @@ def load_variables(ckpt: str, model_name: str, label_dim: int) -> dict:
         from psla_tpu.models.convert import load_pth
 
         return load_pth(ckpt, model_name, label_dim)
+    import os
+
     import orbax.checkpoint as ocp
 
-    tree = ocp.PyTreeCheckpointer().restore(ckpt)
+    # orbax requires absolute paths; accept the relative ones users type
+    tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
     return {
         "params": tree["params"],
         "batch_stats": tree.get("batch_stats", {}),

@@ -67,8 +67,9 @@ def build_datafile(
         if wav is None:
             missing += 1
             continue
-        known = [m for m in labels.split(",") if m in index_dict]
-        unknown_mids += labels.count(",") + 1 - len(known)
+        mids = [m for m in labels.split(",") if m]  # '' -> zero labels
+        known = [m for m in mids if m in index_dict]
+        unknown_mids += len(mids) - len(known)
         if not known:
             continue
         entries.append({"wav": wav, "labels": ",".join(known)})

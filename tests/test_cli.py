@@ -19,7 +19,7 @@ def cli_run(tmp_path_factory):
         multi_label_frac=0.0,
     )
     exp_dir = str(tmp_path_factory.mktemp("cliexp"))
-    summary = cli.main([
+    summary = cli.run([
         "--data-train", datafile,
         "--data-val", datafile,
         "--data-eval", datafile,
@@ -77,3 +77,10 @@ def test_preset_and_override():
     assert cfg.target_length == 3000
     assert cfg.lr == 1e-3  # explicit flag wins
     assert cfg.batch_size == 24
+
+
+def test_console_entry_exit_code(monkeypatch):
+    """pyproject wires psla-train to sys.exit(cli.main(...)): main must
+    return 0 on success, NOT the summary dict (sys.exit(dict) = status 1)."""
+    monkeypatch.setattr(cli, "run", lambda argv=None: {"not": "an exit code"})
+    assert cli.main([]) == 0
