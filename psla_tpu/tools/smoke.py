@@ -22,7 +22,7 @@ import numpy as np
 
 
 def run(epochs: int = 2, exp_root: str | None = None) -> dict:
-    from psla_tpu.cli import main
+    from psla_tpu.cli import run as cli_run
     from psla_tpu.data.wav import write_wav
 
     d = exp_root or tempfile.mkdtemp(prefix="psla_smoke_")
@@ -41,7 +41,7 @@ def run(epochs: int = 2, exp_root: str | None = None) -> dict:
         f.write("index,mid,display_name\n0,/m/0,tone300\n1,/m/1,tone800\n")
 
     exp = os.path.join(d, "exp")
-    summary = main([
+    summary = cli_run([
         "--data-train", os.path.join(d, "tr.json"),
         "--data-val", os.path.join(d, "val.json"),
         "--label-csv", os.path.join(d, "labels.csv"),

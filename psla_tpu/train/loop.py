@@ -331,7 +331,10 @@ class Trainer:
             gstep = progress["global_step"]
             epoch_losses = []
             for i, host_batch in enumerate(self.train_loader):
-                bs = int(host_batch["n_valid"])
+                # all-padding batches (n_valid==0) are possible under
+                # sequential multi-host sharding; keep the step (collective
+                # lockstep) but don't divide the meters by zero
+                bs = max(int(host_batch["n_valid"]), 1)
                 batch = make_global_batch(host_batch, self.mesh)
                 data_t = time.time() - end_time
                 dnn_start = time.time()
