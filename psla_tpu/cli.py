@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timem", type=int, default=None)
     p.add_argument("--mixup", type=float, default=None)
     p.add_argument("--noise", type=_bool, default=None)
+    p.add_argument("--skip_norm", type=_bool, default=None,
+                   help="skip mean/std normalization (new-dataset "
+                        "onboarding: see psla_tpu.tools.compute_stats)")
     p.add_argument("--bal", type=_bool, default=None)
     # weight averaging
     p.add_argument("--wa", type=_bool, default=None)
@@ -115,6 +118,7 @@ _ARG_TO_FIELD = {
     "dtype": "dtype", "dataset": "dataset", "dataset_mean": "dataset_mean",
     "dataset_std": "dataset_std", "target_length": "target_length",
     "freqm": "freqm", "timem": "timem", "mixup": "mixup", "noise": "noise",
+    "skip_norm": "skip_norm",
     "bal": "bal", "wa": "wa", "wa_start": "wa_start", "wa_end": "wa_end",
     "save_model": "save_model", "seed": "seed", "num_devices": "num_devices",
     "fbank_method": "fbank_method", "fbank_precision": "fbank_precision",
@@ -185,6 +189,13 @@ def run(argv=None):
     maybe_initialize()  # no-op unless launched on a pod / with a coordinator
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    if not cfg.label_csv:
+        # bundled public vocabularies (the reference ships the same CSVs
+        # in-repo at egs/*/class_labels_indices.csv)
+        from psla_tpu import assets
+
+        cfg.label_csv = assets.label_csv_for(cfg.dataset)
+        print(f"using bundled label vocabulary: {cfg.label_csv}")
     if not cfg.exp_dir:
         cfg.exp_dir = (
             f"exp/Data-{cfg.dataset}_Model-{cfg.model}_LR-{cfg.lr}"

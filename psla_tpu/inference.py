@@ -91,6 +91,14 @@ def predict_long(
         np.maximum(n - np.arange(n_chunks) * chunk_samples, 0), chunk_samples
     ).astype(np.int32)
 
+    # exact streaming aggregation needs the pooling head's partial sums:
+    # probe the model's signature for return_stats (robust against error
+    # message wording, unlike TypeError sniffing)
+    import inspect
+
+    supports_stats = "return_stats" in inspect.signature(
+        type(model).__call__
+    ).parameters
     apply_stats = jax.jit(
         lambda v, x: model.apply(v, x, train=False, return_stats=True)
     )
@@ -99,7 +107,6 @@ def predict_long(
     stats_acc = None
     probs_acc = 0.0
     weight_acc = 0.0
-    supports_stats = True
     for lo in range(0, n_chunks, chunk_batch):
         idx = slice(lo, min(lo + chunk_batch, n_chunks))
         batch = chunks[idx]
@@ -116,17 +123,7 @@ def predict_long(
         )
         valid = batch.shape[0] - pad_rows if pad_rows else batch.shape[0]
         if supports_stats:
-            try:
-                st = apply_stats(variables, logmel)
-            except TypeError as e:
-                # only treat "this model has no return_stats kwarg" as the
-                # degrade signal; any other TypeError is a real bug in the
-                # model and silently switching to the approximate
-                # frame-averaging path would mask it
-                if "return_stats" not in str(e):
-                    raise
-                supports_stats = False
-        if supports_stats:
+            st = apply_stats(variables, logmel)
             # fold the batch axis into the chunk axis (head_weight is a
             # per-model constant, NOT per-chunk — do not slice it)
             piece = {

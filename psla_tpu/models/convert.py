@@ -181,6 +181,12 @@ def convert_imagenet_backbone(
         params["effnet"]["stem"]["conv"]["kernel"] = np.asarray(
             init_variables["params"]["effnet"]["stem"]["conv"]["kernel"]
         )
+    return _merge_into_init(init_variables, params, stats)
+
+
+def _merge_into_init(init_variables, params: dict, stats: dict) -> dict:
+    """Overlay converted backbone weights on a fresh model.init tree
+    (anything not converted — pooling head, classifier — stays fresh)."""
 
     def merge(init_tree, over):
         out = dict(init_tree)
@@ -197,13 +203,8 @@ def convert_imagenet_backbone(
     }
 
 
-def convert_resnet_attention(
-    state_dict: Mapping[str, Any], label_dim: int
-) -> dict[str, dict]:
-    """ResNetAttention .pth state_dict -> flax variables."""
-    sd = normalize_state_dict(state_dict)
-    params: dict = {}
-    stats: dict = {}
+def _convert_resnet_backbone(sd: dict, params: dict, stats: dict):
+    """torchvision resnet50 stem + layer mapping ('model.'-prefixed keys)."""
     net = ("resnet",)
     _set(params, net + ("stem", "conv", "kernel"), _conv(sd["model.conv1.weight"]))
     _bn(params, stats, net + ("stem", "bn"), sd, "model.bn1")
@@ -219,15 +220,42 @@ def convert_resnet_attention(
                 _set(params, blk + ("downsample", "conv", "kernel"),
                      _conv(sd[f"{t}.downsample.0.weight"]))
                 _bn(params, stats, blk + ("downsample", "bn"), sd, f"{t}.downsample.1")
+
+
+def convert_resnet_attention(
+    state_dict: Mapping[str, Any], label_dim: int
+) -> dict[str, dict]:
+    """ResNetAttention .pth state_dict -> flax variables."""
+    sd = normalize_state_dict(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    _convert_resnet_backbone(sd, params, stats)
     _attention_head(params, sd, "attention", label_dim)
     return {"params": params, "batch_stats": stats}
 
 
-def convert_mbnet(state_dict: Mapping[str, Any], label_dim: int) -> dict[str, dict]:
-    """MBNet (torchvision mobilenet_v2) .pth state_dict -> flax variables."""
+def convert_imagenet_resnet(
+    state_dict: Mapping[str, Any], init_variables: Mapping[str, Any]
+) -> dict[str, dict]:
+    """Raw torchvision resnet50 ImageNet weights -> ResNetAttention
+    variables. The reference swaps conv1 for a FRESH 1-channel conv
+    (Models.py:18) and keeps everything else pretrained; the attention
+    head comes fresh from ``init_variables``."""
     sd = normalize_state_dict(state_dict)
+    if not any(k.startswith("model.") for k in sd):
+        sd = {f"model.{k}": v for k, v in sd.items()}
+    sd = {k: v for k, v in sd.items() if not k.startswith("model.fc.")}
     params: dict = {}
     stats: dict = {}
+    _convert_resnet_backbone(sd, params, stats)
+    params["resnet"]["stem"]["conv"]["kernel"] = np.asarray(
+        init_variables["params"]["resnet"]["stem"]["conv"]["kernel"]
+    )
+    return _merge_into_init(init_variables, params, stats)
+
+
+def _convert_mbnet_backbone(sd: dict, params: dict, stats: dict):
+    """torchvision mobilenet_v2 features mapping ('model.'-prefixed keys)."""
 
     def conv_bn(flax_prefix, conv_key, bn_key, depthwise=False):
         w = sd[f"{conv_key}.weight"]
@@ -257,9 +285,39 @@ def convert_mbnet(state_dict: Mapping[str, Any], label_dim: int) -> dict[str, di
             idx += 1
             feat += 1
     conv_bn(("head",), "model.features.18.0", "model.features.18.1")
+
+
+def convert_mbnet(state_dict: Mapping[str, Any], label_dim: int) -> dict[str, dict]:
+    """MBNet (torchvision mobilenet_v2) .pth state_dict -> flax variables."""
+    sd = normalize_state_dict(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    _convert_mbnet_backbone(sd, params, stats)
     _set(params, ("classifier", "kernel"), sd["model.classifier.weight"].T)
     _set(params, ("classifier", "bias"), sd["model.classifier.bias"])
     return {"params": params, "batch_stats": stats}
+
+
+def convert_imagenet_mbnet(
+    state_dict: Mapping[str, Any], init_variables: Mapping[str, Any]
+) -> dict[str, dict]:
+    """Raw torchvision mobilenet_v2 ImageNet weights -> MBNet variables.
+    The reference swaps features[0][0] for a FRESH 1-channel conv and the
+    classifier for a fresh Linear (Models.py:51-52); both come fresh from
+    ``init_variables`` here."""
+    sd = normalize_state_dict(state_dict)
+    if not any(k.startswith("model.") for k in sd):
+        sd = {f"model.{k}": v for k, v in sd.items()}
+    # torchvision's classifier is Sequential(Dropout, Linear) -> keys
+    # 'classifier.1.*'; the reference replaces it, so drop and keep fresh
+    sd = {k: v for k, v in sd.items() if ".classifier." not in k}
+    params: dict = {}
+    stats: dict = {}
+    _convert_mbnet_backbone(sd, params, stats)
+    params["stem"]["conv"]["kernel"] = np.asarray(
+        init_variables["params"]["stem"]["conv"]["kernel"]
+    )
+    return _merge_into_init(init_variables, params, stats)
 
 
 CONVERTERS = {

@@ -253,8 +253,9 @@ def main(argv=None):
                    choices=["all", "type1", "type2", "merge", "check"])
     p.add_argument("--datafile", required=True)
     p.add_argument("--label-csv", default=None)
-    p.add_argument("--ontology", required=True,
-                   help="AudioSet ontology.json (public Google release)")
+    p.add_argument("--ontology", default=None,
+                   help="AudioSet ontology.json (default: the bundled "
+                        "public Google release, psla_tpu/assets)")
     p.add_argument("--pred", default=None,
                    help="model predictions CSV on the TRAIN set")
     p.add_argument("--target", default=None, help="target CSV (multi-hot)")
@@ -266,6 +267,18 @@ def main(argv=None):
                    help="[check] parent class mid (default: Speech, the "
                         "reference's check_label_error.py case)")
     args = p.parse_args(argv)
+
+    if args.ontology is None:
+        from psla_tpu import assets
+
+        args.ontology = assets.ontology_json()
+    if args.label_csv is None and args.dataset:
+        from psla_tpu import assets
+
+        try:
+            args.label_csv = assets.label_csv_for(args.dataset)
+        except KeyError:
+            pass  # caught by the required-flag check below
 
     if args.mode == "check":
         with open(args.datafile, encoding="utf8") as f:

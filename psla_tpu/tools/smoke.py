@@ -47,6 +47,7 @@ def run(epochs: int = 2, exp_root: str | None = None) -> dict:
         "--label-csv", os.path.join(d, "labels.csv"),
         "--exp-dir", exp,
         "--n_class", "2", "--eff_b", "0", "--target_length", "64",
+        "--impretrain", "False",
         "--batch-size", "8", "--n-epochs", str(epochs),
         "--wa", "True", "--wa_start", "1", "--wa_end", str(epochs),
         "--bal", "True", "--dtype", "bfloat16",

@@ -145,6 +145,16 @@ class Trainer:
             params, batch_stats = self._load_pretrained(
                 cfg.pretrained_ckpt, variables
             )
+        elif cfg.impretrain:
+            # turnkey ImageNet pretraining (the reference's silent
+            # auto-download at Models.py:69-72): resolve the standard
+            # checkpoint from cache/env/download, or fail LOUDLY — never
+            # silently train from scratch under impretrain=True
+            from psla_tpu.models.pretrained import resolve_imagenet_checkpoint
+
+            path = resolve_imagenet_checkpoint(cfg.model, cfg.eff_b)
+            print(f"loading ImageNet pretrained backbone: {path}")
+            params, batch_stats = self._load_pretrained(path, variables)
         opt_state = self.tx.init(params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -169,13 +179,24 @@ class Trainer:
             )
 
             sd = torch.load(path, map_location="cpu", weights_only=False)
-            has_head = any(
-                "attention" in k for k in normalize_state_dict(sd)
-            )
-            if self.config.model == "efficientnet" and not has_head:
+            norm_keys = list(normalize_state_dict(sd))
+            has_head = any("attention" in k for k in norm_keys)
+            model = self.config.model
+            if model == "efficientnet" and not has_head:
                 # ImageNet backbone-only checkpoint (PSLA's "P"): pretrained
                 # effnet + fresh pooling head from the model init
                 variables = convert_imagenet_backbone(sd, init_variables)
+            elif model == "resnet" and not has_head:
+                from psla_tpu.models.convert import convert_imagenet_resnet
+
+                variables = convert_imagenet_resnet(sd, init_variables)
+            elif model == "mbnet" and not any(
+                k.startswith("model.") for k in norm_keys
+            ):
+                # raw torchvision mobilenet_v2 (no 'model.' wrapper prefix)
+                from psla_tpu.models.convert import convert_imagenet_mbnet
+
+                variables = convert_imagenet_mbnet(sd, init_variables)
             else:
                 variables = convert_checkpoint(
                     sd, self.config.model, self.config.n_class

@@ -9,7 +9,6 @@ DATA_DIR=${DATA_DIR:-data/audioset}
 python -m psla_tpu.cli --preset audioset_balanced \
   --data-train "$DATA_DIR/balanced_train_data.json" \
   --data-val   "$DATA_DIR/eval_data.json" \
-  --label-csv  "$DATA_DIR/class_labels_indices.csv" \
   --exp-dir    exp/audioset-bal-$(date +%m%d) \
   --dtype bfloat16 \
   "$@"

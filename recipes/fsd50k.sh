@@ -11,7 +11,6 @@ python -m psla_tpu.cli --preset fsd50k \
   --data-train "$DATA_DIR/fsd50k_tr_full_type1_2_mean.json" \
   --data-val   "$DATA_DIR/fsd50k_val_full.json" \
   --data-eval  "$DATA_DIR/fsd50k_eval_full.json" \
-  --label-csv  "$DATA_DIR/class_labels_indices.csv" \
   --exp-dir    exp/fsd50k-$(date +%m%d) \
   --dtype bfloat16 \
   "$@"

@@ -62,6 +62,7 @@ def run(local_slice=None):
     from psla_tpu.train.step import build_train_step, build_eval_step
 
     cfg = ExperimentConfig(
+        impretrain=False,
         n_class=N_CLASS, eff_b=0, att_head=4, target_length=TARGET_LENGTH,
         freqm=8, timem=8, mixup=0.5, lr=1e-3, batch_size=GLOBAL_BATCH,
         warmup=True, bn_momentum=0.9,

@@ -27,6 +27,7 @@ def cli_run(tmp_path_factory):
         "--exp-dir", exp_dir,
         "--n_class", "3",
         "--eff_b", "0",
+        "--impretrain", "False",
         "--att_head", "4",
         "--target_length", "64",
         "--freqm", "0", "--timem", "0", "--mixup", "0.0",

@@ -26,6 +26,7 @@ from psla_tpu.train.step import build_eval_step, build_train_step
 
 def _setup(batch_size=8):
     cfg = ExperimentConfig(
+        impretrain=False,
         n_class=6, eff_b=0, att_head=1, target_length=64, freqm=4, timem=4,
         mixup=0.5, lr=1e-3, batch_size=batch_size, warmup=False,
         bn_momentum=0.5,

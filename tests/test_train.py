@@ -30,6 +30,7 @@ def corpus(tmp_path_factory):
 def _make_trainer(corpus, exp_dir, **overrides) -> Trainer:
     datafile, label_csv = corpus
     cfg = ExperimentConfig(
+        impretrain=False,
         data_train=datafile, data_val=datafile, label_csv=label_csv,
         exp_dir=exp_dir, n_class=4, model="efficientnet", eff_b=0, att_head=1,
         target_length=128, freqm=0, timem=0, mixup=0.0,
