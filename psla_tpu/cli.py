@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--ensemble-seeds", type=int, default=None,
+                   help="train E independent seeds in ONE program over a "
+                        "2-D (ensemble, data) mesh (the TPU-native form "
+                        "of the reference's multi-run ensembles, "
+                        "README.md:206); must divide the device count")
     p.add_argument("--fbank-method", choices=["auto", "fft", "gemm", "pallas"],
                    default=None)
     p.add_argument("--fbank-precision", choices=["highest", "high", "default"],
@@ -121,6 +126,7 @@ _ARG_TO_FIELD = {
     "skip_norm": "skip_norm",
     "bal": "bal", "wa": "wa", "wa_start": "wa_start", "wa_end": "wa_end",
     "save_model": "save_model", "seed": "seed", "num_devices": "num_devices",
+    "ensemble_seeds": "ensemble_seeds",
     "fbank_method": "fbank_method", "fbank_precision": "fbank_precision",
     "remat": "remat", "tensorboard": "tensorboard",
     "profile_steps": "profile_steps",
@@ -202,7 +208,12 @@ def run(argv=None):
             f"_Epochs-{cfg.n_epochs}"
         )
     train_loader, val_loader, eval_loader = make_loaders(cfg)
-    trainer = Trainer(cfg, train_loader, val_loader, eval_loader)
+    if cfg.ensemble_seeds > 1:
+        from psla_tpu.train.ensemble_loop import EnsembleTrainer
+
+        trainer = EnsembleTrainer(cfg, train_loader, val_loader, eval_loader)
+    else:
+        trainer = Trainer(cfg, train_loader, val_loader, eval_loader)
     trainer.train(resume=args.resume)
     return post_training_summary(trainer, eval_loader)
 

@@ -81,8 +81,12 @@ class ExperimentConfig:
     fbank_precision: str = "high"
     # parallelism
     num_devices: Optional[int] = None  # None = all visible
-    # (multi-seed ensemble-axis training is driven via psla_tpu.parallel.
-    # ensemble — see __graft_entry__.dryrun_multichip for the wiring)
+    # multi-seed ensemble-axis training (the TPU-native form of the
+    # reference's multi-run ensembles behind the 0.474 headline,
+    # README.md:206): E>1 trains E independent seeds in ONE program over
+    # a 2-D ('ensemble', 'data') mesh — see train/ensemble_loop.py and
+    # the --ensemble-seeds CLI flag. Must divide the device count.
+    ensemble_seeds: int = 1
     # observability: capture a jax.profiler trace of training steps
     # [profile_start_step, profile_start_step + profile_steps) into
     # {exp_dir}/profile (SURVEY.md §5.1; the reference only has wall-clock

@@ -28,6 +28,7 @@ class EffNetAttention(nn.Module):
     bn_momentum: float = 0.99
     stem_s2d: bool = False  # exact space-to-depth stem (efficientnet.py)
     remat: bool = False  # rematerialize MBConv blocks in backward (memory knob)
+    drop_connect_rate: float = 0.2  # stochastic depth (efficientnet_pytorch's 0.2)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_stats: bool = False):
@@ -37,7 +38,8 @@ class EffNetAttention(nn.Module):
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         feats = EfficientNet(
             b=self.b, dtype=self.dtype, bn_momentum=self.bn_momentum,
-            stem_s2d=self.stem_s2d, remat=self.remat, name="effnet",
+            stem_s2d=self.stem_s2d, remat=self.remat,
+            drop_connect_rate=self.drop_connect_rate, name="effnet",
         )(x, train=train)
         feats = jnp.mean(feats, axis=1)  # average residual freq axis -> [B, T', C]
         if self.head_num > 1:

@@ -63,6 +63,82 @@ def build_ensemble_train_step(model, tx, pre_config, loss_type, mesh):
     )
 
 
+def build_ensemble_train_step_single_rng(
+    model, tx, pre_config, loss_type, mesh, num_seeds: int
+):
+    """Like build_ensemble_train_step but takes ONE base rng and derives
+    the per-seed streams inside the program (fold_in by seed index) — the
+    Trainer-facing variant: the epoch loop keeps passing a single key and
+    resume determinism is preserved (the per-seed key depends only on the
+    base key and the seed index; the per-STEP key on state.step inside the
+    core step). metrics['loss'] is the cross-seed mean (scalar: the loop's
+    NaN check catches any diverged seed through the mean), with the
+    per-seed vector under metrics['seed_loss']."""
+    import jax.numpy as jnp
+
+    from psla_tpu.train.step import make_train_step_fn
+
+    core = make_train_step_fn(model, tx, pre_config, loss_type)
+    vstep = jax.vmap(core, in_axes=(0, None, 0))
+
+    def step(state, batch, rng):
+        rngs = jax.vmap(lambda s: jax.random.fold_in(rng, s))(
+            jnp.arange(num_seeds)
+        )
+        new_state, metrics = vstep(state, batch, rngs)
+        return new_state, {
+            "loss": jnp.mean(metrics["loss"]),
+            "seed_loss": metrics["loss"],
+        }
+
+    ens = NamedSharding(mesh, P("ensemble"))
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch_shardings = {k: data for k in _BATCH_FIELDS}
+    batch_shardings["n_valid"] = repl
+    return jax.jit(
+        step,
+        in_shardings=(ens, batch_shardings, repl),
+        out_shardings=(ens, {"loss": repl, "seed_loss": repl}),
+        donate_argnums=(0,),
+        compiler_options=tpu_compiler_options(),
+    )
+
+
+def build_ensemble_eval_step(model, pre_config, loss_type, mesh):
+    """vmapped+sharded eval step: (params [E,...], batch_stats [E,...],
+    shared batch) -> (probs [E, B, C], per_sample_loss [E, B]).
+
+    Takes the stacked params/batch_stats rather than a full TrainState:
+    the weight-averaged state the Trainer also evaluates carries SCALAR
+    step/opt-count leaves that cannot be vmapped along a seed axis.
+    """
+    from psla_tpu.train.step import make_eval_step_fn
+
+    core = make_eval_step_fn(model, pre_config, loss_type)
+
+    def eval_one(params, batch_stats, batch):
+        state = TrainState(
+            step=jax.numpy.zeros((), jax.numpy.int32),
+            params=params, batch_stats=batch_stats, opt_state=(),
+        )
+        return core(state, batch)
+
+    vstep = jax.vmap(eval_one, in_axes=(0, 0, None))
+
+    out = NamedSharding(mesh, P("ensemble", "data"))
+    return jax.jit(
+        vstep,
+        out_shardings=(out, out),
+        compiler_options=tpu_compiler_options(),
+    )
+
+
 def ensemble_member(state: TrainState, i: int) -> TrainState:
-    """Extract one seed's state (for checkpointing / eval)."""
-    return jax.tree.map(lambda x: np.asarray(x)[i], state)
+    """Extract one seed's state (for checkpointing / eval). Scalar leaves
+    (e.g. the step/count of a freshly built weight-averaged state) are
+    shared across seeds and pass through unchanged."""
+    return jax.tree.map(
+        lambda x: np.asarray(x)[i] if np.ndim(x) > 0 else np.asarray(x),
+        state,
+    )

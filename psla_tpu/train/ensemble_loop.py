@@ -1,0 +1,233 @@
+"""Ensemble-axis Trainer: E independent seeds in one XLA program.
+
+The PSLA protocol's headline numbers come from ensembles of independently
+trained models (reference README.md:206: 10 models -> 0.474 mAP; the
+reference trains them as SEPARATE jobs and combines afterwards with
+src/ensemble/ensemble.py). TPU-native formulation: parameters of E seeds
+are stacked on a leading axis sharded over the 'ensemble' axis of a 2-D
+('ensemble', 'data') mesh; one vmapped train step advances all seeds in
+lockstep, each seed data-parallel over its mesh slice. Per-seed RNG
+streams (fold_in by seed index) give independent head init, mixup,
+SpecAugment, dropout, and drop-connect draws; the data stream is shared.
+
+Drive with ``--ensemble-seeds E`` (E must divide the device count). The
+full Trainer protocol applies per seed and to the seed-mean:
+
+  * the per-epoch ``predictions_{e}.csv`` holds the SEED-MEAN prediction
+    matrix, so result.csv's ensemble columns and the running
+    checkpoint-ensemble become a checkpoints x seeds ensemble;
+  * per-seed matrices land in ``predictions_{e}_seed{i}.csv`` and
+    per-seed/ensemble mAPs in ``seed_result.csv``;
+  * stacked checkpoints (resume) are saved per epoch; per-seed extracted
+    checkpoints for the 'best' and 'wa' tags land in
+    ``models/{best,wa}_seed{i}`` and are consumable by
+    ``psla_tpu.tools.ensemble`` like any single-model checkpoint;
+  * ``--impretrain``/``--pretrained-ckpt`` load the (shared) backbone
+    into every seed while pooling heads stay per-seed fresh — matching
+    the reference protocol, where every ensemble member starts from the
+    same ImageNet backbone but a different head init.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psla_tpu.metrics import calculate_stats
+from psla_tpu.parallel.distributed import is_primary, make_global_batch
+from psla_tpu.parallel.ensemble import (
+    build_ensemble_eval_step,
+    build_ensemble_train_step_single_rng,
+    ensemble_member,
+    init_ensemble_state,
+)
+from psla_tpu.parallel.mesh import ensemble_sharding, make_mesh
+from psla_tpu.train.loop import Trainer
+from psla_tpu.train.state import TrainState
+
+# pooling-head / classifier top-level param collections: per-seed fresh
+# even when a pretrained backbone is loaded
+_HEAD_KEYS = frozenset({"attention", "classifier"})
+
+
+class EnsembleTrainer(Trainer):
+    def __init__(self, config, train_loader, val_loader, eval_loader=None):
+        if config.ensemble_seeds < 2:
+            raise ValueError("EnsembleTrainer needs ensemble_seeds >= 2")
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "ensemble-axis training is single-controller for now; "
+                "on a pod, run one ensemble program per host group"
+            )
+        self.num_seeds = config.ensemble_seeds
+        super().__init__(config, train_loader, val_loader, eval_loader)
+        # rebuild on the 2-D ('ensemble', 'data') mesh
+        n_dev = config.num_devices or len(jax.devices())
+        if n_dev % self.num_seeds:
+            raise ValueError(
+                f"ensemble_seeds={self.num_seeds} must divide the device "
+                f"count ({n_dev})"
+            )
+        self.mesh = make_mesh(config.num_devices, ensemble=self.num_seeds)
+        self.train_step = build_ensemble_train_step_single_rng(
+            self.model, self.tx, self.pre_config, config.loss, self.mesh,
+            self.num_seeds,
+        )
+        self.eval_step = build_ensemble_eval_step(
+            self.model, self.pre_config, config.loss, self.mesh
+        )
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self) -> TrainState:
+        cfg = self.config
+        example = jnp.zeros(
+            (1, cfg.target_length, cfg.num_mel_bins), jnp.float32
+        )
+        seeds = [cfg.seed + i for i in range(self.num_seeds)]
+        state = init_ensemble_state(
+            self.model, self.tx, seeds, example, self.mesh
+        )
+        path = cfg.pretrained_ckpt
+        if not path and cfg.impretrain:
+            from psla_tpu.models.pretrained import resolve_imagenet_checkpoint
+
+            path = resolve_imagenet_checkpoint(cfg.model, cfg.eff_b)
+            print(f"loading ImageNet pretrained backbone: {path}")
+        if path:
+            init_key = jax.random.fold_in(self.rng, 0)
+            single = self.model.init(init_key, example, train=False)
+            params, batch_stats = self._load_pretrained(path, single)
+            state = self._broadcast_backbone(state, params, batch_stats)
+        return state
+
+    def _broadcast_backbone(self, state, params, batch_stats) -> TrainState:
+        """Overlay a single pretrained tree onto the stacked state,
+        broadcast over the seed axis; head collections stay per-seed."""
+        E = self.num_seeds
+
+        def bcast(tree):
+            return jax.tree.map(
+                lambda x: np.broadcast_to(
+                    np.asarray(x), (E,) + np.shape(x)
+                ).copy(),
+                tree,
+            )
+
+        new_params = dict(jax.tree.map(np.asarray, dict(state.params)))
+        for k, v in params.items():
+            if k not in _HEAD_KEYS:
+                new_params[k] = bcast(v)
+        new_stats = dict(jax.tree.map(np.asarray, dict(state.batch_stats)))
+        for k, v in batch_stats.items():
+            if k not in _HEAD_KEYS:
+                new_stats[k] = bcast(v)
+        # fresh optimizer state on the overlaid params (same shapes; Adam
+        # moments are zeros either way, so re-init keeps it simple+correct)
+        new_state = TrainState(
+            step=np.zeros((E,), np.int32),
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=jax.vmap(self.tx.init)(new_params),
+        )
+        return jax.device_put(new_state, ensemble_sharding(self.mesh))
+
+    def restore_checkpoint(self, tag) -> TrainState:
+        state = super().restore_checkpoint(tag)
+        # seed-stacked leaves shard over 'ensemble'; scalar leaves (the
+        # step/opt-count of a weight-averaged checkpoint) replicate
+        ens = ensemble_sharding(self.mesh)
+        repl = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
+        return jax.tree.map(
+            lambda x: jax.device_put(x, ens if np.ndim(x) > 0 else repl),
+            state,
+        )
+
+    def save_checkpoint(self, state: TrainState, tag):
+        super().save_checkpoint(state, tag)  # stacked (resume / wa source)
+        if str(tag) in ("best", "wa"):
+            # per-seed extracts: plain single-model checkpoints, directly
+            # consumable by tools/ensemble.py & tools/weight_averaging.py
+            for i in range(self.num_seeds):
+                Trainer.save_checkpoint(
+                    self, ensemble_member(state, i), f"{tag}_seed{i}"
+                )
+
+    # --------------------------------------------------------- validation
+
+    def validate(self, state, loader, epoch, eval_target=False):
+        """Per-seed eval + seed-mean ensemble in one pass.
+
+        Returns (ensemble_stats, mean_loss) so every Trainer/protocol
+        consumer sees the headline (seed-mean) metrics; per-seed stats are
+        kept on ``self.last_member_stats`` and written to seed_result.csv.
+        """
+        preds, targets, losses = [], [], []
+        for host_batch in loader:
+            n_valid = int(host_batch["n_valid"])
+            batch = make_global_batch(host_batch, self.mesh)
+            out, per_sample = self.eval_step(
+                state.params, state.batch_stats, batch
+            )
+            preds.append(np.asarray(out)[:, :n_valid])
+            targets.append(host_batch["labels"][:n_valid])
+            losses.append(np.asarray(per_sample)[:, :n_valid])
+        output = np.concatenate(preds, axis=1)  # [E, N, C]
+        target = np.concatenate(targets)
+        loss = float(np.mean(np.concatenate(losses, axis=1)))
+
+        member_stats = [
+            calculate_stats(output[i], target) for i in range(self.num_seeds)
+        ]
+        mean_pred = output.mean(axis=0)
+        stats = calculate_stats(mean_pred, target)
+        self.last_member_stats = member_stats
+
+        if is_primary():
+            pred_dir = os.path.join(self.exp_dir, "predictions")
+            target_csv = os.path.join(pred_dir, "target.csv")
+            if not os.path.exists(target_csv):
+                np.savetxt(target_csv, target, delimiter=",")
+            np.savetxt(
+                os.path.join(pred_dir, f"predictions_{epoch}.csv"),
+                mean_pred, delimiter=",",
+            )
+            for i in range(self.num_seeds):
+                np.savetxt(
+                    os.path.join(pred_dir, f"predictions_{epoch}_seed{i}.csv"),
+                    output[i], delimiter=",",
+                )
+                # bound disk use like the reference does for its per-epoch
+                # CSVs (traintest.py:288): keep only the latest epoch's
+                # per-seed matrices
+                if isinstance(epoch, int) and epoch > 1:
+                    prev = os.path.join(
+                        pred_dir, f"predictions_{epoch - 1}_seed{i}.csv"
+                    )
+                    if os.path.exists(prev):
+                        os.remove(prev)
+            if eval_target:
+                eval_csv = os.path.join(pred_dir, "eval_target.csv")
+                if not os.path.exists(eval_csv):
+                    np.savetxt(eval_csv, target, delimiter=",")
+            member_maps = [
+                float(np.mean([s["AP"] for s in ms])) for ms in member_stats
+            ]
+            ens_map = float(np.mean([s["AP"] for s in stats]))
+            with open(os.path.join(self.exp_dir, "seed_result.csv"), "a") as f:
+                f.write(
+                    f"{epoch},"
+                    + ",".join(f"{m:.6f}" for m in member_maps)
+                    + f",{ens_map:.6f}\n"
+                )
+            print(
+                f"[{epoch}] seed mAPs: "
+                + " ".join(f"{m:.4f}" for m in member_maps)
+                + f" | seed-ensemble mAP: {ens_map:.4f}"
+            )
+        return stats, loss

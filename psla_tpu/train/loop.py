@@ -207,6 +207,12 @@ class Trainer:
                 raise ValueError(f"{path}: not a psla_tpu checkpoint")
         return variables["params"], variables.get("batch_stats", {})
 
+    @staticmethod
+    def _host_step(state: TrainState) -> int:
+        """Global step as a host int (works for [E]-stacked ensemble
+        states too, whose seeds advance in lockstep)."""
+        return int(np.max(np.asarray(state.step)))
+
     # ------------------------------------------------------- checkpointing
 
     def _ckpt_dir(self, tag) -> str:
@@ -411,7 +417,7 @@ class Trainer:
             mid_r = float(np.mean(
                 [s["recalls"][len(s["recalls"]) // 2] for s in stats]
             ))
-            cur_lr = float(self.schedule(int(state.step)))
+            cur_lr = float(self.schedule(self._host_step(state)))
 
             main = mAP if cfg.metrics == "mAP" else acc
             ens_main = ens_mAP if cfg.metrics == "mAP" else ens_acc
@@ -458,9 +464,9 @@ class Trainer:
                     pickle.dump(stats, f, protocol=pickle.HIGHEST_PROTOCOL)
 
             progress["epoch"] = epoch
-            progress["global_step"] = int(state.step)
+            progress["global_step"] = self._host_step(state)
             progress["history"].append(
-                [epoch, int(state.step), progress["best_epoch"],
+                [epoch, self._host_step(state), progress["best_epoch"],
                  progress["best_metric"], time.time() - start_time]
             )
             if is_primary():

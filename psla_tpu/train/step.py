@@ -126,14 +126,12 @@ def build_train_step(
     )
 
 
-def build_eval_step(
+def make_eval_step_fn(
     model,
     pre_config: PreprocessConfig,
     loss_type: str = "BCE",
-    mesh=None,
 ):
-    """Returns jitted eval_step(state, batch) -> (probs [B,C],
-    per_sample_loss [B]). Host trims padded tail rows via batch['n_valid']."""
+    """The pure (un-jitted) eval step — also vmapped by parallel.ensemble."""
     eval_config = pre_config.eval_variant()
 
     def eval_step(state: TrainState, batch: dict):
@@ -144,6 +142,19 @@ def build_eval_step(
             train=False,
         )
         return out, _per_sample_loss(out, batch["labels"], loss_type)
+
+    return eval_step
+
+
+def build_eval_step(
+    model,
+    pre_config: PreprocessConfig,
+    loss_type: str = "BCE",
+    mesh=None,
+):
+    """Returns jitted eval_step(state, batch) -> (probs [B,C],
+    per_sample_loss [B]). Host trims padded tail rows via batch['n_valid']."""
+    eval_step = make_eval_step_fn(model, pre_config, loss_type)
 
     if mesh is not None:
         repl = replicated_sharding(mesh)
