@@ -40,7 +40,7 @@ def _make_batch(batch_size: int, pre, seed: int = 0):
     }
 
 
-def run(batch_size: int = 64, steps: int = 40):
+def run(batch_size: int = 64, steps: int = 40, act_compress: str = "none"):
     """Times `steps` train steps executed ON DEVICE inside one lax.scan
     program (two alternating data batches; RNG folded per step). A single
     dispatch per measurement makes the number robust to host<->device
@@ -65,6 +65,7 @@ def run(batch_size: int = 64, steps: int = 40):
     model = create_model(
         cfg.model, label_dim=cfg.n_class, eff_b=cfg.eff_b,
         head_num=cfg.att_head, dtype=jnp.bfloat16,
+        act_compress=act_compress,
     )
     tx = make_optimizer(psla_lr_schedule(cfg.lr, steps_per_epoch=20000))
 
@@ -359,9 +360,12 @@ def main():
     if "--loader" in sys.argv:
         run_loader()
         return
+    act_compress = "none"
+    if "--act-compress" in sys.argv:
+        act_compress = sys.argv[sys.argv.index("--act-compress") + 1]
     for bs in (128, 64, 32):
         try:
-            clips_per_sec, loss = run(bs)
+            clips_per_sec, loss = run(bs, act_compress=act_compress)
             assert np.isfinite(loss)
             break
         except Exception as e:  # OOM fallback to smaller batch

@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU precision of the training fbank matmuls "
                         "(config default 'high' = bf16x3; 'highest' for "
                         "f32-parity runs)")
+    p.add_argument("--act-compress", choices=["none", "q8save", "qdq"],
+                   default=None,
+                   help="int8 depthwise-activation compression experiment "
+                        "(ops/qsave.py; see PERF.md for the verdict)")
     p.add_argument("--remat", type=_bool, default=None,
                    help="rematerialize MBConv blocks in backward (~3x lower "
                         "peak activation memory for ~18%% step time)")
@@ -128,6 +132,7 @@ _ARG_TO_FIELD = {
     "save_model": "save_model", "seed": "seed", "num_devices": "num_devices",
     "ensemble_seeds": "ensemble_seeds",
     "fbank_method": "fbank_method", "fbank_precision": "fbank_precision",
+    "act_compress": "act_compress",
     "remat": "remat", "tensorboard": "tensorboard",
     "profile_steps": "profile_steps",
     "profile_start_step": "profile_start_step",

@@ -70,6 +70,11 @@ class ExperimentConfig:
     # rematerialize MBConv blocks in backward: ~3x lower peak activation
     # memory for ~18% step time (v5e, bs=128) — enables larger batches
     remat: bool = False
+    # int8 compression of depthwise-conv activations (ops/qsave.py):
+    # 'none' | 'q8save' (exact fwd, int8-saved weight-grad) | 'qdq'
+    # (straight-through forward quantization). EXPERIMENTAL — speed
+    # verdict in PERF.md; numerics bounds in tests/test_qsave.py.
+    act_compress: str = "none"
     # fbank lowering: 'auto' (pallas kernel on TPU, fft elsewhere),
     # 'fft', 'gemm', or 'pallas' — see frontend/pipeline.py.
     fbank_method: str = "auto"

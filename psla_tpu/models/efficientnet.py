@@ -183,6 +183,7 @@ class MBConvBlock(nn.Module):
     drop_rate: float
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.99
+    act_compress: str = "none"  # int8 saved-activation experiment (qsave.py)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -199,6 +200,7 @@ class MBConvBlock(nn.Module):
             act="silu",
             dtype=self.dtype,
             bn_momentum=self.bn_momentum,
+            act_compress=self.act_compress,
             name="depthwise",
         )(x, train)
 
@@ -243,6 +245,9 @@ class EfficientNet(nn.Module):
     # checkpoint-compatible either way. Measured NEUTRAL on v5e at bs=128
     # (XLA already handles the C=1 stem well); kept for other topologies.
     stem_s2d: bool = False
+    # int8 compression of the depthwise-conv activations (ops/qsave.py):
+    # 'none' | 'q8save' (exact fwd, int8-saved wgrad) | 'qdq'
+    act_compress: str = "none"
 
     @property
     def feature_dim(self) -> int:
@@ -281,6 +286,7 @@ class EfficientNet(nn.Module):
                     drop_rate=self.drop_connect_rate * idx / total,
                     dtype=self.dtype,
                     bn_momentum=self.bn_momentum,
+                    act_compress=self.act_compress,
                     name=f"block_{idx}",
                 )(x, train)
                 idx += 1

@@ -29,6 +29,7 @@ class EffNetAttention(nn.Module):
     stem_s2d: bool = False  # exact space-to-depth stem (efficientnet.py)
     remat: bool = False  # rematerialize MBConv blocks in backward (memory knob)
     drop_connect_rate: float = 0.2  # stochastic depth (efficientnet_pytorch's 0.2)
+    act_compress: str = "none"  # int8 depthwise-activation experiment (ops/qsave.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_stats: bool = False):
@@ -39,7 +40,8 @@ class EffNetAttention(nn.Module):
         feats = EfficientNet(
             b=self.b, dtype=self.dtype, bn_momentum=self.bn_momentum,
             stem_s2d=self.stem_s2d, remat=self.remat,
-            drop_connect_rate=self.drop_connect_rate, name="effnet",
+            drop_connect_rate=self.drop_connect_rate,
+            act_compress=self.act_compress, name="effnet",
         )(x, train=train)
         feats = jnp.mean(feats, axis=1)  # average residual freq axis -> [B, T', C]
         if self.head_num > 1:

@@ -53,8 +53,28 @@ conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 dense_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+class _Kernel(nn.Module):
+    """Holds a conv kernel under the standard 'conv/kernel' param path
+    (for custom-conv paths that bypass nn.Conv, keeping checkpoints
+    interchangeable)."""
+
+    shape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.shape)
+
+
 class ConvBN(nn.Module):
-    """Conv (no bias) + BatchNorm + optional activation, NHWC."""
+    """Conv (no bias) + BatchNorm + optional activation, NHWC.
+
+    act_compress (int8 activation compression experiment, ops/qsave.py;
+    depthwise convs only — their input is the expanded MBConv tensor that
+    dominates backward HBM traffic):
+      'none'   — standard path;
+      'q8save' — exact forward, weight-grad reads the input as int8;
+      'qdq'    — straight-through int8 quantize-dequantize of the input.
+    """
 
     features: int
     kernel_size: tuple[int, int]
@@ -65,20 +85,39 @@ class ConvBN(nn.Module):
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
     dtype: jnp.dtype = jnp.float32
+    act_compress: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding=self.padding,
-            feature_group_count=self.groups,
-            use_bias=False,
-            kernel_init=conv_kernel_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        compress = self.act_compress if self.groups > 1 else "none"
+        if compress == "qdq":
+            from psla_tpu.ops.qsave import qdq
+
+            x = qdq(x, axis=-1)
+        if compress == "q8save":
+            from psla_tpu.ops.qsave import dw_conv_q8save
+
+            kernel = _Kernel(
+                self.kernel_size + (1, self.features), name="conv"
+            )()
+            x = dw_conv_q8save(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, self.padding,
+            )
+        elif compress not in ("none", "qdq"):
+            raise ValueError(f"unknown act_compress {self.act_compress!r}")
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=self.padding,
+                feature_group_count=self.groups,
+                use_bias=False,
+                kernel_init=conv_kernel_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         # BN computes in the activation dtype (bf16 keeps the whole
         # inter-conv activation stream half-width — HBM traffic dominates
         # this net at audio resolutions); flax always computes the batch

@@ -20,18 +20,20 @@ def create_model(
     bn_momentum: float = 0.99,
     stem_s2d: bool = False,
     remat: bool = False,
+    act_compress: str = "none",
 ):
     """Build the flax module for a model name (run.py's --model choices)."""
     if name == "efficientnet":
         return EffNetAttention(
             label_dim=label_dim, b=eff_b, head_num=head_num, dtype=dtype,
             bn_momentum=bn_momentum, stem_s2d=stem_s2d, remat=remat,
+            act_compress=act_compress,
         )
-    if stem_s2d or remat:
+    if stem_s2d or remat or act_compress != "none":
         # refuse rather than silently ignore (the reference's ignored-flag
         # quirks are deliberately NOT reproduced, SURVEY.md §7.4)
         raise ValueError(
-            f"stem_s2d/remat are EfficientNet-only options (got model={name!r})"
+            f"stem_s2d/remat/act_compress are EfficientNet-only options (got model={name!r})"
         )
     if name == "resnet":
         return ResNetAttention(label_dim=label_dim, dtype=dtype)

@@ -77,6 +77,7 @@ class Trainer:
             dtype=dtype,
             bn_momentum=config.bn_momentum,
             remat=config.remat,
+            act_compress=config.act_compress,
         )
         self.pre_config = config.preprocess_config()
         self.mesh = make_mesh(config.num_devices)

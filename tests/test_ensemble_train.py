@@ -104,6 +104,44 @@ def test_ensemble_at_least_as_good_as_members(ens_run):
     #                                     fall below the member mean
 
 
+def test_ensemble_resume_extends_training(ens_run):
+    """--resume restores the stacked epoch checkpoint and trains on:
+    the extend-training workflow (n_epochs raised from 2 to 3)."""
+    _, exp_dir = ens_run
+    # recover the corpus paths from the saved config
+    import json
+
+    with open(os.path.join(exp_dir, "config.json")) as f:
+        cfg = json.load(f)
+    summary = cli.run([
+        "--data-train", cfg["data_train"],
+        "--data-val", cfg["data_val"],
+        "--label-csv", cfg["label_csv"],
+        "--exp-dir", exp_dir,
+        "--n_class", "3", "--eff_b", "0", "--att_head", "1",
+        "--impretrain", "False",
+        "--target_length", "64",
+        "--freqm", "0", "--timem", "0", "--mixup", "0.0",
+        "--lr", "2e-3", "--batch-size", "8", "--n-epochs", "3",
+        "--warmup", "False", "--wa", "False",
+        "--bal", "False", "--num-workers", "2",
+        "--ensemble-seeds", "2", "--resume",
+    ])
+    assert np.isfinite(summary["best_single"]["eval_mAP"])
+    rows = np.atleast_2d(np.loadtxt(
+        os.path.join(exp_dir, "result.csv"), delimiter=","
+    ))
+    assert rows.shape[0] == 3 and np.any(rows[2] != 0)  # epoch 3 trained
+    assert os.path.isdir(os.path.join(exp_dir, "models", "epoch_3"))
+    # stacked step advanced beyond the first run's
+    import orbax.checkpoint as ocp
+
+    tree = ocp.PyTreeCheckpointer().restore(
+        os.path.join(exp_dir, "models", "epoch_3")
+    )
+    assert np.all(np.asarray(tree["step"]) == 3)  # 1 step/epoch x 3 epochs
+
+
 def test_per_seed_checkpoints_load_as_single_models(ens_run):
     """best_seed{i} checkpoints are plain single-model orbax trees."""
     import orbax.checkpoint as ocp
