@@ -131,6 +131,50 @@ def test_trainer_impretrain_loads_imagenet_effnet(isolated_cache, tmp_path):
     )
 
 
+def test_ensemble_impretrain_shares_backbone(isolated_cache, tmp_path):
+    """--ensemble-seeds + --impretrain: every seed gets the SAME pretrained
+    backbone while pooling heads stay per-seed fresh (the reference
+    protocol: each ensemble member starts from ImageNet + its own head)."""
+    pytest.importorskip("torch")
+    from psla_tpu.data import AudioLoader, LoaderConfig, load_datafile
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.train.ensemble_loop import EnsembleTrainer
+    from tests.synth import build_corpus
+
+    rng = np.random.RandomState(4)
+    sd = _imagenet_state_dict(0, rng)
+    _save_pth(sd, os.path.join(isolated_cache, "efficientnet-b0-test.pth"))
+
+    datafile, label_csv = build_corpus(
+        str(tmp_path / "corpus"), num_classes=3, clips_per_class=2,
+        seconds=0.5, multi_label_frac=0.0,
+    )
+    cfg = ExperimentConfig(
+        data_train=datafile, data_val=datafile, label_csv=label_csv,
+        exp_dir=str(tmp_path / "exp"), n_class=3, eff_b=0, att_head=4,
+        target_length=64, batch_size=8, n_epochs=1, num_workers=1,
+        impretrain=True, ensemble_seeds=2,
+    )
+    df = load_datafile(datafile, label_csv)
+    buf = cfg.preprocess_config().fbank.buffer_length(cfg.target_length)
+    lc = LoaderConfig(batch_size=8, buffer_samples=buf, num_workers=1)
+    loader = AudioLoader(df, lc, shuffle=False)
+    trainer = EnsembleTrainer(cfg, loader, loader)
+    state = trainer.init_state()
+
+    stem = np.asarray(state.params["effnet"]["stem"]["conv"]["kernel"])
+    assert stem.shape[0] == 2  # seed-stacked
+    # both seeds carry the SAME converted ImageNet stem (RGB sum collapse)
+    expect = np.transpose(sd["_conv_stem.weight"], (2, 3, 1, 0)).sum(
+        2, keepdims=True
+    )
+    np.testing.assert_allclose(stem[0], expect, rtol=1e-6)
+    np.testing.assert_array_equal(stem[0], stem[1])
+    # heads differ per seed (fresh init)
+    hk = np.asarray(state.params["attention"]["heads"]["kernel"])
+    assert np.abs(hk[0] - hk[1]).max() > 1e-4
+
+
 # ---------------- torchvision-layout ImageNet backbones (resnet / mbnet)
 
 
