@@ -217,6 +217,113 @@ def run_eval(batch_size: int = 128, steps: int = 40):
     )
 
 
+def run_ensemble(num_models: int = 4, batch_size: int = 128, steps: int = 20):
+    """(--ensemble) Stacked vs sequential E-model ensemble serving.
+
+    The reference ensemble protocol (src/ensemble/ensemble.py:104-116) runs
+    E full eval passes. tools/ensemble.py's stacked path vmaps E members'
+    forwards over one shared preprocessed batch, so host transfer + fbank
+    run once per batch. Both variants timed in one session with the
+    scan-differencing methodology of run()/run_eval()."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.models import create_model
+    from psla_tpu.train.step import tpu_compiler_options
+    from psla_tpu.frontend.pipeline import WavBatch, preprocess_eval
+
+    cfg = ExperimentConfig(dtype="bfloat16", batch_size=batch_size)
+    pre = cfg.preprocess_config()
+    eval_cfg = pre.eval_variant()
+    model = create_model(
+        cfg.model, label_dim=cfg.n_class, eff_b=cfg.eff_b,
+        head_num=cfg.att_head, dtype=jnp.bfloat16,
+    )
+    example = jnp.zeros((1, cfg.target_length, cfg.num_mel_bins), jnp.float32)
+
+    def init_one(k):
+        v = model.init(k, example, train=False)
+        return v["params"], v.get("batch_stats", {})
+
+    params, bstats = jax.jit(jax.vmap(init_one))(
+        jax.random.split(jax.random.PRNGKey(0), num_models)
+    )
+    stacked = jax.device_put(
+        jax.tree.map(
+            lambda *xs: np.stack(xs),
+            _make_batch(batch_size, pre, 0),
+            _make_batch(batch_size, pre, 1),
+        )
+    )
+
+    def fbank_of(batch):
+        wb = WavBatch(**{k: batch[k] for k in (
+            "wav", "wav_mean", "length", "labels",
+            "mix_wav", "mix_wav_mean", "mix_length", "mix_labels")})
+        return preprocess_eval(wb, eval_cfg)
+
+    def fwd_one(p, b, fbank):
+        return model.apply(
+            {"params": p, "batch_stats": b}, fbank, train=False
+        )
+
+    @functools.partial(
+        jax.jit, static_argnames=("n", "mode"),
+        compiler_options=tpu_compiler_options(),
+    )
+    def multi(params, bstats, stacked, n, mode):
+        def body(acc, i):
+            batch = jax.tree.map(lambda x: x[i % 2], stacked)
+            fbank = fbank_of(batch)
+            if mode == "stacked":
+                out = jax.vmap(fwd_one, in_axes=(0, 0, None))(
+                    params, bstats, fbank
+                )
+            else:  # sequential members, each re-deriving the fbank as E
+                # independent passes would (transfer cost not even charged)
+                outs = []
+                for m in range(num_models):
+                    p = jax.tree.map(lambda x: x[m], params)
+                    b = jax.tree.map(lambda x: x[m], bstats)
+                    outs.append(fwd_one(p, b, fbank_of(batch)))
+                out = jnp.stack(outs)
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0]
+
+    short = max(2, steps // 8)
+
+    def timed(n, mode):
+        t0 = time.perf_counter()
+        float(multi(params, bstats, stacked, n, mode))
+        return time.perf_counter() - t0
+
+    res = {}
+    for mode in ("sequential", "stacked"):
+        timed(short, mode)
+        timed(steps, mode)
+        t_short = timed(short, mode)
+        t_long = timed(steps, mode)
+        dt = (t_long - t_short) / (steps - short)
+        res[mode] = batch_size / dt  # ensemble-clips (all E members) per sec
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_clips_per_sec_per_chip",
+                "value": round(res["stacked"], 0),
+                "unit": "ensemble-clips/s (E=%d members, B=%d, stacked vmap; "
+                "sequential=%d)" % (num_models, batch_size,
+                                    round(res["sequential"])),
+                "vs_baseline": round(res["stacked"] / res["sequential"], 2),
+            }
+        )
+    )
+    return res
+
+
 def run_fbank(batch_size: int = 128, steps: int = 60):
     """Secondary metric (--fbank): fused Pallas fbank kernel throughput.
 
@@ -353,6 +460,9 @@ def main():
 
     if "--eval" in sys.argv:
         run_eval()
+        return
+    if "--ensemble" in sys.argv:
+        run_ensemble()
         return
     if "--fbank" in sys.argv:
         run_fbank()

@@ -6,6 +6,13 @@ headline 0.474 mAP (10-model ensemble). Model inputs can be psla_tpu orbax
 checkpoints or reference .pth files (converted on the fly, with the
 'module.'/_fc key normalization of ensemble.py:35-38 handled by
 models.convert).
+
+TPU-native serving path: the default is a STACKED pass — all E members'
+params stacked along a leading axis and vmapped, so the eval loader is
+traversed once, each batch's host->device transfer and on-device fbank
+happen once (vmap in_axes=None leaves the shared preprocessing unbatched),
+and the E forwards run back-to-back inside one XLA program. The reference
+(and `--sequential`) runs E independent full passes instead.
 """
 
 from __future__ import annotations
@@ -59,6 +66,47 @@ def predict(model, variables, loader, pre_config, mesh=None) -> tuple[np.ndarray
     return np.concatenate(preds), np.concatenate(targets)
 
 
+def predict_stacked(
+    model, variables_list, loader, pre_config, mesh=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """One vmapped pass for all E members -> (predictions [E,N,C], targets).
+
+    The members' param/batch_stats trees are stacked along a leading axis
+    (sharded over the mesh's 'ensemble' axis, replicated when that axis is
+    size 1) and the shared batch is broadcast: host decode, transfer, and
+    the on-device fbank run once per batch instead of once per member.
+    Requires all checkpoints to share one architecture (always true for
+    the reference ensemble protocol, ensemble.py:19-31 lists one arch).
+    """
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from psla_tpu.parallel.ensemble import build_ensemble_eval_step
+
+    if mesh is None or "ensemble" not in mesh.axis_names:
+        devices = np.asarray(jax.devices())
+        mesh = Mesh(devices.reshape(1, -1), ("ensemble", "data"))
+    params = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[v["params"] for v in variables_list],
+    )
+    bstats = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[v.get("batch_stats", {}) for v in variables_list],
+    )
+    ens = NamedSharding(mesh, P("ensemble"))
+    params = jax.device_put(params, ens)
+    bstats = jax.device_put(bstats, ens)
+    eval_step = build_ensemble_eval_step(model, pre_config, "BCE", mesh)
+    preds, targets = [], []
+    for host_batch in loader:
+        n_valid = int(host_batch["n_valid"])
+        out, _ = eval_step(params, bstats, shard_batch(host_batch, mesh))
+        preds.append(np.asarray(out)[:, :n_valid])
+        targets.append(host_batch["labels"][:n_valid])
+    return np.concatenate(preds, axis=1), np.concatenate(targets)
+
+
 def ensemble_eval(
     checkpoints: list[str],
     loader,
@@ -68,17 +116,40 @@ def ensemble_eval(
     eff_b: int = 2,
     att_head: int = 4,
     out_dir: str | None = None,
+    stacked: bool = True,
 ) -> dict:
     """Evaluate each checkpoint, then the mean of their predictions
     (ensemble.py:52-68). Returns per-model and ensemble mAP/AUC."""
     model = create_model(model_name, label_dim=n_class, eff_b=eff_b, head_num=att_head)
-    mesh = make_mesh()
+    all_variables = [
+        _load_variables(ckpt, model_name, n_class) for ckpt in checkpoints
+    ]
+    if stacked:
+        import jax
+
+        structs = {
+            jax.tree.structure(v["params"]) for v in all_variables
+        }
+        if len(structs) > 1:
+            print("checkpoint param trees differ; falling back to sequential")
+            stacked = False
     summed = None
     target = None
     per_model = []
+    if stacked:
+        all_preds, target = predict_stacked(
+            model, all_variables, loader, pre_config
+        )
+    else:
+        mesh = make_mesh()
+        all_preds = None
     for i, ckpt in enumerate(checkpoints):
-        variables = _load_variables(ckpt, model_name, n_class)
-        pred, target = predict(model, variables, loader, pre_config, mesh)
+        if stacked:
+            pred = all_preds[i]
+        else:
+            pred, target = predict(
+                model, all_variables[i], loader, pre_config, mesh
+            )
         stats = calculate_stats(pred, target)
         m = float(np.mean([s["AP"] for s in stats]))
         a = float(np.nanmean([s["auc"] for s in stats]))
@@ -124,6 +195,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--target_length", type=int, default=None)
     p.add_argument("--out-dir", default=None)
+    p.add_argument("--sequential", action="store_true",
+                   help="one full eval pass per model (reference behavior) "
+                        "instead of the stacked single-pass default")
     args = p.parse_args(argv)
 
     cfg = from_preset(args.preset) if args.preset else ExperimentConfig()
@@ -144,7 +218,7 @@ def main(argv=None):
     res = ensemble_eval(
         args.checkpoints, loader, pre, model_name=args.model,
         n_class=n_class, eff_b=args.eff_b, att_head=args.att_head,
-        out_dir=args.out_dir,
+        out_dir=args.out_dir, stacked=not args.sequential,
     )
     return 0
 

@@ -181,6 +181,69 @@ def test_ensemble_cli_main(tmp_path):
     assert (tmp_path / "preds" / "target.csv").exists()
 
 
+def test_ensemble_stacked_matches_sequential(tmp_path):
+    """The stacked single-pass ensemble eval produces the same per-model
+    predictions as E sequential full passes (reference semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.data.loader import AudioLoader, LoaderConfig
+    from psla_tpu.data.datafiles import load_datafile
+    from psla_tpu.data.wav import write_wav
+    from psla_tpu.models import create_model
+    from psla_tpu.tools.ensemble import predict, predict_stacked
+
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text("index,mid,display_name\n0,/m/0,a\n1,/m/1,b\n")
+    entries = []
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, rng.standard_normal(8000) * 0.2, 16000)
+        entries.append({"wav": p, "labels": "/m/0" if i % 2 else "/m/1"})
+    df_path = tmp_path / "eval.json"
+    df_path.write_text(json.dumps({"data": entries}))
+
+    cfg = ExperimentConfig(n_class=2, eff_b=0, target_length=64, batch_size=8)
+    pre = cfg.preprocess_config().eval_variant()
+    model = create_model("efficientnet", label_dim=2, eff_b=0, head_num=4)
+    variables = [
+        jax.tree.map(
+            np.asarray,
+            model.init(jax.random.PRNGKey(s), jnp.zeros((1, 64, 128)), train=False),
+        )
+        for s in range(2)
+    ]
+    # zero-init heads make fresh members identical (all-0.5 probs); give
+    # member 1 distinct weights so the cross-member assertion is meaningful
+    pert = np.random.default_rng(7)
+    variables[1]["params"] = jax.tree.map(
+        lambda x: x + pert.normal(0, 0.02, x.shape).astype(x.dtype),
+        variables[1]["params"],
+    )
+    df = load_datafile(str(df_path), str(label_csv))
+    lc = LoaderConfig(
+        batch_size=8,
+        buffer_samples=pre.fbank.buffer_length(64),
+        drop_remainder=False,
+    )
+
+    seq = [
+        predict(model, v, AudioLoader(df, lc, shuffle=False), pre)[0]
+        for v in variables
+    ]
+    stacked, target = predict_stacked(
+        model, variables, AudioLoader(df, lc, shuffle=False), pre
+    )
+    assert stacked.shape == (2, 8, 2)
+    assert target.shape == (8, 2)
+    for i in range(2):
+        np.testing.assert_allclose(stacked[i], seq[i], atol=2e-6)
+    # the two members genuinely differ (different init seeds)
+    assert np.abs(stacked[0] - stacked[1]).max() > 1e-4
+
+
 def test_label_enhancement_cli_main(tmp_path):
     """Drive the offline enhancement CLI exactly as a user would."""
     from psla_tpu.tools import label_enhancement as le
