@@ -97,7 +97,9 @@ def predict_stacked(
     ens = NamedSharding(mesh, P("ensemble"))
     params = jax.device_put(params, ens)
     bstats = jax.device_put(bstats, ens)
-    eval_step = build_ensemble_eval_step(model, pre_config, "BCE", mesh)
+    eval_step = build_ensemble_eval_step(
+        model, pre_config, "BCE", mesh, len(variables_list)
+    )
     preds, targets = [], []
     for host_batch in loader:
         n_valid = int(host_batch["n_valid"])

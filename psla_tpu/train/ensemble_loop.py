@@ -77,7 +77,8 @@ class EnsembleTrainer(Trainer):
             self.num_seeds,
         )
         self.eval_step = build_ensemble_eval_step(
-            self.model, self.pre_config, config.loss, self.mesh
+            self.model, self.pre_config, config.loss, self.mesh,
+            self.num_seeds,
         )
 
     # ------------------------------------------------------------- state

@@ -123,7 +123,7 @@ def test_ensemble_axis_trains_independent_seeds():
     }
     example = jnp.zeros((1, 64, 128), jnp.float32)
     state = init_ensemble_state(model, tx, [0, 1], example, mesh)
-    step = build_ensemble_train_step(model, tx, pre, cfg.loss, mesh)
+    step = build_ensemble_train_step(model, tx, pre, cfg.loss, mesh, 2)
     b = shard_batch(batch, mesh)
     rngs = jax.random.split(jax.random.PRNGKey(7), 2)
     for _ in range(2):
@@ -140,6 +140,105 @@ def test_ensemble_axis_trains_independent_seeds():
     ]
     assert max(d) > 1e-3
     assert np.all(np.asarray(state.step) == 2)
+
+
+def _well_conditioned_members(model, n_members):
+    """Members with noisy params AND realistic BN running stats — a
+    near-init model (BN identity, collapsed variance) hides cross-member
+    numeric corruption because every member's output is ~0.5."""
+    example = jnp.zeros((1, 64, 128), jnp.float32)
+    members = []
+    for s in range(n_members):
+        v = jax.tree.map(
+            np.asarray, model.init(jax.random.PRNGKey(s), example, train=False)
+        )
+        pr = np.random.default_rng(100 + s)
+        v["params"] = jax.tree.map(
+            lambda x: x + pr.normal(0, 0.05, x.shape).astype(x.dtype),
+            v["params"],
+        )
+        v["batch_stats"] = jax.tree.map(
+            lambda x: np.abs(pr.normal(1, 0.3, np.shape(x))).astype(
+                np.asarray(x).dtype
+            ),
+            v["batch_stats"],
+        )
+        members.append(v)
+    return members
+
+
+def test_ensemble_eval_sharded_matches_per_member():
+    """REGRESSION (round 2): the vmapped ensemble eval formulation hit an
+    XLA GSPMD bug — batched-kernel convolutions partitioned over the
+    folded member axis returned values off by up to 0.10 in probability.
+    The shard_map formulation must match per-member unsharded eval."""
+    from psla_tpu.parallel.ensemble import build_ensemble_eval_step
+
+    cfg, pre, model, tx, batch = _setup()
+    members = _well_conditioned_members(model, 2)
+
+    ref = []
+    for v in members:
+        st = TrainState(
+            step=jnp.zeros((), jnp.int32), params=v["params"],
+            batch_stats=v["batch_stats"], opt_state=(),
+        )
+        out, _ = build_eval_step(model, pre, cfg.loss)(st, batch)
+        ref.append(np.asarray(out))
+
+    mesh = make_mesh(ensemble=2)  # members genuinely sharded: 2 x 4
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ens = NamedSharding(mesh, P("ensemble"))
+    params = jax.device_put(
+        jax.tree.map(lambda *xs: np.stack(xs), *[m["params"] for m in members]),
+        ens,
+    )
+    bstats = jax.device_put(
+        jax.tree.map(
+            lambda *xs: np.stack(xs), *[m["batch_stats"] for m in members]
+        ),
+        ens,
+    )
+    step = build_ensemble_eval_step(model, pre, cfg.loss, mesh, 2)
+    out, _ = step(params, bstats, shard_batch(batch, mesh))
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
+
+
+def test_ensemble_train_sharded_matches_per_seed():
+    """Each seed of the sharded ensemble train step must update exactly as
+    the same seed trained alone through the single-model train step."""
+    cfg, pre, model, tx, batch = _setup()
+    mesh = make_mesh(ensemble=2)
+    example = jnp.zeros((1, 64, 128), jnp.float32)
+    state = init_ensemble_state(model, tx, [0, 1], example, mesh)
+    host_state = jax.tree.map(np.asarray, state)
+    step = build_ensemble_train_step(model, tx, pre, cfg.loss, mesh, 2)
+    rngs = jax.random.split(jax.random.PRNGKey(7), 2)
+    new_state, metrics = step(state, shard_batch(batch, mesh), rngs)
+
+    for i in range(2):
+        single = build_train_step(model, tx, pre, cfg.loss, mesh=make_mesh(1))
+        st_i = ensemble_member(host_state, i)
+        ref_state, ref_metrics = single(
+            jax.device_put(st_i), jax.device_put(batch), rngs[i]
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(metrics["loss"])[i]),
+            float(ref_metrics["loss"]), atol=3e-4,
+        )
+        got = ensemble_member(jax.tree.map(np.asarray, new_state), i)
+        diffs = [
+            np.abs(a - b).max()
+            for a, b in zip(
+                jax.tree.leaves(got.params),
+                jax.tree.leaves(jax.tree.map(np.asarray, ref_state.params)),
+            )
+        ]
+        assert max(diffs) < 3 * cfg.lr, max(diffs)
+        assert np.mean(diffs) < 1e-4
 
 
 def test_graft_entry_dryrun():

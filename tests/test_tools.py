@@ -243,6 +243,18 @@ def test_ensemble_stacked_matches_sequential(tmp_path):
     # the two members genuinely differ (different init seeds)
     assert np.abs(stacked[0] - stacked[1]).max() > 1e-4
 
+    # vmapped path (members sharded over a 2-size 'ensemble' mesh axis)
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices())
+    if devs.size >= 4:
+        mesh2 = Mesh(devs[:4].reshape(2, 2), ("ensemble", "data"))
+        vm, _ = predict_stacked(
+            model, variables, AudioLoader(df, lc, shuffle=False), pre, mesh2
+        )
+        for i in range(2):
+            np.testing.assert_allclose(vm[i], seq[i], atol=2e-6)
+
 
 def test_label_enhancement_cli_main(tmp_path):
     """Drive the offline enhancement CLI exactly as a user would."""
