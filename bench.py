@@ -478,8 +478,15 @@ def main():
         run_loader()
         return
     act_compress = "none"
-    if "--act-compress" in sys.argv:
-        act_compress = sys.argv[sys.argv.index("--act-compress") + 1]
+    for i, arg in enumerate(sys.argv):
+        if arg == "--act-compress":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("usage: bench.py --act-compress {none,q8save,qdq}")
+            act_compress = sys.argv[i + 1]
+        elif arg.startswith("--act-compress="):
+            act_compress = arg.split("=", 1)[1]
+    if act_compress not in ("none", "q8save", "qdq"):
+        raise SystemExit(f"unknown --act-compress mode {act_compress!r}")
     for bs in (128, 64, 32):
         try:
             clips_per_sec, loss = run(bs, act_compress=act_compress)

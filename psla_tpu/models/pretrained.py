@@ -29,6 +29,7 @@ import os
 __all__ = [
     "MissingPretrainedError",
     "resolve_imagenet_checkpoint",
+    "convert_imagenet_state_dict",
     "load_imagenet_variables",
 ]
 
@@ -151,14 +152,12 @@ def resolve_imagenet_checkpoint(model: str, eff_b: int = 2) -> str:
     )
 
 
-def load_imagenet_variables(path: str, model: str, init_variables):
-    """torch.load + convert an ImageNet backbone checkpoint, keeping the
-    fresh pooling head / classifier from ``init_variables``."""
-    import torch
-
+def convert_imagenet_state_dict(sd, model: str, init_variables):
+    """Route a loaded ImageNet state dict to its per-model converter,
+    keeping the fresh pooling head / classifier from ``init_variables``.
+    The single dispatch point — Trainer._load_pretrained uses this too."""
     from psla_tpu.models import convert
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
     if model == "efficientnet":
         return convert.convert_imagenet_backbone(sd, init_variables)
     if model == "resnet":
@@ -166,3 +165,12 @@ def load_imagenet_variables(path: str, model: str, init_variables):
     if model == "mbnet":
         return convert.convert_imagenet_mbnet(sd, init_variables)
     raise ValueError(f"unknown model {model!r}")
+
+
+def load_imagenet_variables(path: str, model: str, init_variables):
+    """torch.load + convert an ImageNet backbone checkpoint, keeping the
+    fresh pooling head / classifier from ``init_variables``."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_imagenet_state_dict(sd, model, init_variables)

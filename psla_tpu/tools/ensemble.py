@@ -8,11 +8,13 @@ checkpoints or reference .pth files (converted on the fly, with the
 models.convert).
 
 TPU-native serving path: the default is a STACKED pass — all E members'
-params stacked along a leading axis and vmapped, so the eval loader is
-traversed once, each batch's host->device transfer and on-device fbank
-happen once (vmap in_axes=None leaves the shared preprocessing unbatched),
-and the E forwards run back-to-back inside one XLA program. The reference
-(and `--sequential`) runs E independent full passes instead.
+params stacked along a leading axis (shard_map'd over the mesh's
+'ensemble' axis, local members unrolled as plain-conv forwards — NOT
+vmapped: see parallel/ensemble.py for the GSPMD miscompile + MXU
+rationale), so the eval loader is traversed once, each batch's
+host->device transfer and on-device fbank happen once, and the E forwards
+run back-to-back inside one XLA program. The reference (and
+`--sequential`) runs E independent full passes instead.
 """
 
 from __future__ import annotations
@@ -69,7 +71,7 @@ def predict(model, variables, loader, pre_config, mesh=None) -> tuple[np.ndarray
 def predict_stacked(
     model, variables_list, loader, pre_config, mesh=None
 ) -> tuple[np.ndarray, np.ndarray]:
-    """One vmapped pass for all E members -> (predictions [E,N,C], targets).
+    """One stacked pass for all E members -> (predictions [E,N,C], targets).
 
     The members' param/batch_stats trees are stacked along a leading axis
     (sharded over the mesh's 'ensemble' axis, replicated when that axis is

@@ -65,15 +65,21 @@ def fetch_and_convert(
     url = url or entry["url"]
     n_class = entry["n_class"] if entry else 527
     os.makedirs(out_dir, exist_ok=True)
+    ckpt = os.path.abspath(os.path.join(out_dir, f"{name}.ckpt"))
+    if os.path.isdir(ckpt):
+        # idempotent re-run: the .pth is deleted after conversion by
+        # default, so a second invocation must not re-download + crash
+        # on the existing orbax dir
+        print(f"{name}: already converted -> {ckpt}")
+        return ckpt
     pth = os.path.join(out_dir, f"{name}.pth")
     if not os.path.exists(pth):
         print(f"downloading {url}")
         tmp = pth + ".part"
         urllib.request.urlretrieve(url, tmp)
         os.replace(tmp, pth)
-    ckpt = os.path.abspath(os.path.join(out_dir, f"{name}.ckpt"))
     variables = load_pth(pth, "efficientnet", n_class)
-    ocp.PyTreeCheckpointer().save(ckpt, variables)
+    ocp.PyTreeCheckpointer().save(ckpt, variables, force=True)
     if not keep_pth:
         os.remove(pth)
     print(f"{name}: converted -> {ckpt}")

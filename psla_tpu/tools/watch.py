@@ -26,34 +26,56 @@ RESULT_COLS = (
 )
 
 
+def _try_parse(path: str, parse):
+    """Parse one artifact file; None if absent OR torn. The trainer
+    writes result.csv / progress.json non-atomically while running, so
+    a poll can land mid-write — treat a parse error as 'not yet' and
+    let the next poll pick up the completed write."""
+    if not os.path.exists(path):
+        return None
+    try:
+        return parse(path)
+    except (ValueError, json.JSONDecodeError, OSError):
+        return None
+
+
+def _load_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
 def read_state(exp_dir: str) -> dict:
     """Parse the artifact files into one status dict (missing -> {})."""
     out: dict = {"exp_dir": exp_dir}
-    cfg_path = os.path.join(exp_dir, "config.json")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            cfg = json.load(f)
+    cfg = _try_parse(os.path.join(exp_dir, "config.json"), _load_json)
+    if cfg is not None:
         out["config"] = {
             k: cfg.get(k)
             for k in ("dataset", "model", "eff_b", "n_class", "batch_size",
                       "lr", "n_epochs", "ensemble_seeds")
         }
-    prog_path = os.path.join(exp_dir, "progress.json")
-    if os.path.exists(prog_path):
-        with open(prog_path) as f:
-            out["progress"] = json.load(f)
-    res_path = os.path.join(exp_dir, "result.csv")
-    if os.path.exists(res_path):
-        rows = np.atleast_2d(np.loadtxt(res_path, delimiter=","))
+    prog = _try_parse(os.path.join(exp_dir, "progress.json"), _load_json)
+    if prog is not None:
+        out["progress"] = prog
+    rows = _try_parse(
+        os.path.join(exp_dir, "result.csv"),
+        lambda p: np.atleast_2d(np.loadtxt(p, delimiter=",")),
+    )
+    if rows is not None and rows.size and rows.shape[1] == len(RESULT_COLS):
         done = [i for i, r in enumerate(rows) if np.any(r != 0)]
         out["epochs"] = [
             {"epoch": i + 1, **dict(zip(RESULT_COLS, map(float, rows[i])))}
             for i in done
         ]
-    seed_path = os.path.join(exp_dir, "seed_result.csv")
-    if os.path.exists(seed_path):
-        with open(seed_path) as f:
-            out["seed_rows"] = [line.strip().split(",") for line in f if line.strip()]
+    seed_rows = _try_parse(
+        os.path.join(exp_dir, "seed_result.csv"),
+        lambda p: [
+            line.strip().split(",")
+            for line in open(p) if line.strip()
+        ],
+    )
+    if seed_rows is not None:
+        out["seed_rows"] = seed_rows
     return out
 
 

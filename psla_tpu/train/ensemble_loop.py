@@ -5,7 +5,8 @@ trained models (reference README.md:206: 10 models -> 0.474 mAP; the
 reference trains them as SEPARATE jobs and combines afterwards with
 src/ensemble/ensemble.py). TPU-native formulation: parameters of E seeds
 are stacked on a leading axis sharded over the 'ensemble' axis of a 2-D
-('ensemble', 'data') mesh; one vmapped train step advances all seeds in
+('ensemble', 'data') mesh; one shard_map'd train step (local members
+unrolled — see parallel/ensemble.py) advances all seeds in
 lockstep, each seed data-parallel over its mesh slice. Per-seed RNG
 streams (fold_in by seed index) give independent head init, mixup,
 SpecAugment, dropout, and drop-connect draws; the data stream is shared.
@@ -23,9 +24,10 @@ full Trainer protocol applies per seed and to the seed-mean:
     ``models/{best,wa}_seed{i}`` and are consumable by
     ``psla_tpu.tools.ensemble`` like any single-model checkpoint;
   * ``--impretrain``/``--pretrained-ckpt`` load the (shared) backbone
-    into every seed while pooling heads stay per-seed fresh — matching
-    the reference protocol, where every ensemble member starts from the
-    same ImageNet backbone but a different head init.
+    into every seed while pooling heads — and any leaf the converter
+    takes fresh from the init, e.g. resnet/mbnet's 1-channel stem —
+    stay per-seed independent, matching the reference protocol where
+    every ensemble member is a separate job with its own torch init.
 """
 
 from __future__ import annotations
@@ -63,6 +65,7 @@ class EnsembleTrainer(Trainer):
                 "on a pod, run one ensemble program per host group"
             )
         self.num_seeds = config.ensemble_seeds
+        self._seed_rows: dict[str, str] = {}  # seed_result.csv, keyed rows
         super().__init__(config, train_loader, val_loader, eval_loader)
         # rebuild on the 2-D ('ensemble', 'data') mesh
         n_dev = config.num_devices or len(jax.devices())
@@ -99,33 +102,46 @@ class EnsembleTrainer(Trainer):
             path = resolve_imagenet_checkpoint(cfg.model, cfg.eff_b)
             print(f"loading ImageNet pretrained backbone: {path}")
         if path:
-            init_key = jax.random.fold_in(self.rng, 0)
-            single = self.model.init(init_key, example, train=False)
-            params, batch_stats = self._load_pretrained(path, single)
-            state = self._broadcast_backbone(state, params, batch_stats)
+            state = self._overlay_pretrained(path, state)
         return state
 
-    def _broadcast_backbone(self, state, params, batch_stats) -> TrainState:
-        """Overlay a single pretrained tree onto the stacked state,
-        broadcast over the seed axis; head collections stay per-seed."""
-        E = self.num_seeds
+    def _overlay_pretrained(self, path: str, state) -> TrainState:
+        """Convert the pretrained source against EVERY seed's own init and
+        overlay the results onto the stacked state.
 
-        def bcast(tree):
+        Per-seed conversion (not a broadcast of one converted tree) so that
+        leaves the converter takes from the init — resnet/mbnet's fresh
+        1-channel stem, any stem='random' path — stay independent per seed,
+        matching the reference protocol where each ensemble member is a
+        separate job with its own torch init. Head collections always stay
+        per-seed fresh, even for full checkpoints."""
+        E = self.num_seeds
+        payload = self._read_pretrained(path)  # torch.load / restore ONCE
+
+        def member_vars(i):
+            m = lambda t: jax.tree.map(lambda x: np.asarray(x)[i], dict(t))
+            return {"params": m(state.params),
+                    "batch_stats": m(state.batch_stats)}
+
+        per_seed = [
+            self._convert_pretrained(payload, member_vars(i)) for i in range(E)
+        ]
+
+        def stack_key(trees):
             return jax.tree.map(
-                lambda x: np.broadcast_to(
-                    np.asarray(x), (E,) + np.shape(x)
-                ).copy(),
-                tree,
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees
             )
 
         new_params = dict(jax.tree.map(np.asarray, dict(state.params)))
-        for k, v in params.items():
+        for k in per_seed[0]["params"]:
             if k not in _HEAD_KEYS:
-                new_params[k] = bcast(v)
+                new_params[k] = stack_key([p["params"][k] for p in per_seed])
         new_stats = dict(jax.tree.map(np.asarray, dict(state.batch_stats)))
-        for k, v in batch_stats.items():
+        for k in per_seed[0].get("batch_stats", {}):
             if k not in _HEAD_KEYS:
-                new_stats[k] = bcast(v)
+                new_stats[k] = stack_key(
+                    [p["batch_stats"][k] for p in per_seed]
+                )
         # fresh optimizer state on the overlaid params (same shapes; Adam
         # moments are zeros either way, so re-init keeps it simple+correct)
         new_state = TrainState(
@@ -136,17 +152,14 @@ class EnsembleTrainer(Trainer):
         )
         return jax.device_put(new_state, ensemble_sharding(self.mesh))
 
-    def restore_checkpoint(self, tag) -> TrainState:
-        state = super().restore_checkpoint(tag)
-        # seed-stacked leaves shard over 'ensemble'; scalar leaves (the
-        # step/opt-count of a weight-averaged checkpoint) replicate
-        ens = ensemble_sharding(self.mesh)
-        repl = jax.sharding.NamedSharding(
+    def _state_placement(self, x):
+        # seed-stacked leaves shard over 'ensemble' straight from host;
+        # scalar leaves (the step/opt-count of a weight-averaged
+        # checkpoint) replicate
+        if np.ndim(x) > 0:
+            return ensemble_sharding(self.mesh)
+        return jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec()
-        )
-        return jax.tree.map(
-            lambda x: jax.device_put(x, ens if np.ndim(x) > 0 else repl),
-            state,
         )
 
     def save_checkpoint(self, state: TrainState, tag):
@@ -158,6 +171,40 @@ class EnsembleTrainer(Trainer):
                 Trainer.save_checkpoint(
                     self, ensemble_member(state, i), f"{tag}_seed{i}"
                 )
+
+    # ------------------------------------------------------- seed_result
+
+    def _write_seed_result(self, key, member_maps, ens_map):
+        """Rewrite seed_result.csv whole, like result.csv: one row per
+        KEY (epoch number or protocol tag), deduplicated — a crash-window
+        resume that replays an epoch's validate overwrites that epoch's
+        row instead of appending a duplicate. Numeric-epoch rows come
+        first (sorted), protocol tag rows ('best_single_valid_set', 'wa',
+        'eval_*') after. Written atomically (tmp + rename) so a live
+        `psla-watch` poll never sees a torn file."""
+        self._seed_rows[str(key)] = (
+            f"{key},"
+            + ",".join(f"{m:.6f}" for m in member_maps)
+            + f",{ens_map:.6f}"
+        )
+        keys = sorted(
+            (k for k in self._seed_rows if k.isdigit()), key=int
+        ) + [k for k in self._seed_rows if not k.isdigit()]
+        path = os.path.join(self.exp_dir, "seed_result.csv")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("".join(self._seed_rows[k] + "\n" for k in keys))
+        os.replace(tmp, path)
+
+    def train(self, resume: bool = False) -> TrainState:
+        if resume:
+            # reload prior rows so the whole-file rewrite keeps them
+            path = os.path.join(self.exp_dir, "seed_result.csv")
+            if os.path.exists(path):
+                for line in open(path):
+                    if line.strip():
+                        self._seed_rows[line.split(",", 1)[0]] = line.strip()
+        return super().train(resume)
 
     # --------------------------------------------------------- validation
 
@@ -220,12 +267,7 @@ class EnsembleTrainer(Trainer):
                 float(np.mean([s["AP"] for s in ms])) for ms in member_stats
             ]
             ens_map = float(np.mean([s["AP"] for s in stats]))
-            with open(os.path.join(self.exp_dir, "seed_result.csv"), "a") as f:
-                f.write(
-                    f"{epoch},"
-                    + ",".join(f"{m:.6f}" for m in member_maps)
-                    + f",{ens_map:.6f}\n"
-                )
+            self._write_seed_result(epoch, member_maps, ens_map)
             print(
                 f"[{epoch}] seed mAPs: "
                 + " ".join(f"{m:.4f}" for m in member_maps)

@@ -170,43 +170,52 @@ class Trainer:
     def _load_pretrained(self, path: str, init_variables):
         """init_variables: the freshly initialized model variables — reused
         for backbone-only checkpoints (pretrained effnet + fresh head)."""
+        payload = self._read_pretrained(path)
+        variables = self._convert_pretrained(payload, init_variables)
+        return variables["params"], variables.get("batch_stats", {})
+
+    def _read_pretrained(self, path: str):
+        """Load a pretrained source once (torch .pth state dict or a
+        psla_tpu orbax checkpoint) — split from the conversion so the
+        ensemble trainer can convert the same payload once per seed."""
         if path.endswith(".pth"):
             import torch
 
-            from psla_tpu.models.convert import (
-                convert_checkpoint,
-                convert_imagenet_backbone,
-                normalize_state_dict,
-            )
+            return "pth", torch.load(path, map_location="cpu", weights_only=False)
+        variables = self._ckpt.restore(os.path.abspath(path))
+        if "params" not in variables:
+            raise ValueError(f"{path}: not a psla_tpu checkpoint")
+        return "ckpt", variables
 
-            sd = torch.load(path, map_location="cpu", weights_only=False)
-            norm_keys = list(normalize_state_dict(sd))
-            has_head = any("attention" in k for k in norm_keys)
-            model = self.config.model
-            if model == "efficientnet" and not has_head:
-                # ImageNet backbone-only checkpoint (PSLA's "P"): pretrained
-                # effnet + fresh pooling head from the model init
-                variables = convert_imagenet_backbone(sd, init_variables)
-            elif model == "resnet" and not has_head:
-                from psla_tpu.models.convert import convert_imagenet_resnet
+    def _convert_pretrained(self, payload, init_variables):
+        """Convert a `_read_pretrained` payload against one model init.
+        Fresh-from-init leaves (pooling head; the 1-channel stem for
+        resnet/mbnet) come from ``init_variables``."""
+        kind, data = payload
+        if kind == "ckpt":
+            return data
 
-                variables = convert_imagenet_resnet(sd, init_variables)
-            elif model == "mbnet" and not any(
-                k.startswith("model.") for k in norm_keys
-            ):
-                # raw torchvision mobilenet_v2 (no 'model.' wrapper prefix)
-                from psla_tpu.models.convert import convert_imagenet_mbnet
+        from psla_tpu.models.convert import (
+            convert_checkpoint,
+            normalize_state_dict,
+        )
+        from psla_tpu.models.pretrained import convert_imagenet_state_dict
 
-                variables = convert_imagenet_mbnet(sd, init_variables)
-            else:
-                variables = convert_checkpoint(
-                    sd, self.config.model, self.config.n_class
-                )
-        else:
-            variables = self._ckpt.restore(os.path.abspath(path))
-            if "params" not in variables:
-                raise ValueError(f"{path}: not a psla_tpu checkpoint")
-        return variables["params"], variables.get("batch_stats", {})
+        sd = data
+        norm_keys = list(normalize_state_dict(sd))
+        has_head = any("attention" in k for k in norm_keys)
+        model = self.config.model
+        is_backbone_only = (
+            not has_head
+            if model in ("efficientnet", "resnet")
+            # raw torchvision mobilenet_v2 (no 'model.' wrapper prefix)
+            else not any(k.startswith("model.") for k in norm_keys)
+        )
+        if is_backbone_only:
+            # ImageNet backbone-only checkpoint (PSLA's "P"): pretrained
+            # backbone + fresh pooling head from the model init
+            return convert_imagenet_state_dict(sd, model, init_variables)
+        return convert_checkpoint(sd, self.config.model, self.config.n_class)
 
     @staticmethod
     def _host_step(state: TrainState) -> int:
@@ -256,8 +265,19 @@ class Trainer:
             batch_stats=tree["batch_stats"],
             opt_state=opt_state,
         )
-        return jax.device_put(
-            state, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        # per-leaf placement hook: host arrays go STRAIGHT to their final
+        # sharding (the ensemble subclass shards stacked leaves over the
+        # 'ensemble' axis here — replicating E seeds' Adam state on every
+        # device first would be a transient ExE memory spike)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._state_placement(x)), state
+        )
+
+    def _state_placement(self, x):
+        """Target sharding for one restored-state leaf (host array)."""
+        del x  # single-model states are replicated wholesale
+        return jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
         )
 
     # ----------------------------------------------------------- profiling

@@ -64,7 +64,8 @@ def make_train_step_fn(
     pre_config: PreprocessConfig,
     loss_type: str = "BCE",
 ):
-    """The pure (un-jitted) train step — also vmapped by parallel.ensemble."""
+    """The pure (un-jitted) train step — also unrolled per ensemble member
+    inside parallel.ensemble's shard_map'd step."""
     loss_fn_final = bce_loss if loss_type == "BCE" else ce_loss
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
@@ -131,7 +132,8 @@ def make_eval_step_fn(
     pre_config: PreprocessConfig,
     loss_type: str = "BCE",
 ):
-    """The pure (un-jitted) eval step — also vmapped by parallel.ensemble."""
+    """The pure (un-jitted) eval step — parallel.ensemble builds its own
+    shard_map'd variant that shares one fbank across unrolled members."""
     eval_config = pre_config.eval_variant()
 
     def eval_step(state: TrainState, batch: dict):

@@ -175,6 +175,53 @@ def test_ensemble_impretrain_shares_backbone(isolated_cache, tmp_path):
     assert np.abs(hk[0] - hk[1]).max() > 1e-4
 
 
+def test_ensemble_impretrain_per_seed_stems(isolated_cache, tmp_path):
+    """Leaves the converter takes FRESH from the init — mbnet's 1-channel
+    stem — must be independent per seed (the reference protocol runs each
+    ensemble member as a separate job with its own torch init), while the
+    pretrained backbone is shared."""
+    pytest.importorskip("torch")
+    from psla_tpu.data import AudioLoader, LoaderConfig, load_datafile
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.train.ensemble_loop import EnsembleTrainer
+    from tests.synth import build_corpus
+
+    rng = np.random.RandomState(7)
+    sd = _mobilenet_v2_imagenet_sd(rng)
+    _save_pth(sd, os.path.join(isolated_cache, "mobilenet_v2-test.pth"))
+
+    datafile, label_csv = build_corpus(
+        str(tmp_path / "corpus"), num_classes=3, clips_per_class=2,
+        seconds=0.5, multi_label_frac=0.0,
+    )
+    cfg = ExperimentConfig(
+        data_train=datafile, data_val=datafile, label_csv=label_csv,
+        exp_dir=str(tmp_path / "exp"), n_class=3, model="mbnet",
+        target_length=64, batch_size=8, n_epochs=1, num_workers=1,
+        impretrain=True, ensemble_seeds=2,
+    )
+    df = load_datafile(datafile, label_csv)
+    buf = cfg.preprocess_config().fbank.buffer_length(cfg.target_length)
+    lc = LoaderConfig(batch_size=8, buffer_samples=buf, num_workers=1)
+    loader = AudioLoader(df, lc, shuffle=False)
+    trainer = EnsembleTrainer(cfg, loader, loader)
+    state = trainer.init_state()
+
+    stem = np.asarray(state.params["stem"]["conv"]["kernel"])
+    assert stem.shape[0] == 2
+    # per-seed INDEPENDENT fresh stems (not one shared random draw)
+    assert np.abs(stem[0] - stem[1]).max() > 1e-6
+    # backbone BN stats pretrained + shared across seeds
+    head_mean = np.asarray(state.batch_stats["head"]["bn"]["mean"])
+    np.testing.assert_allclose(
+        head_mean[0], sd["features.18.1.running_mean"], rtol=1e-6
+    )
+    np.testing.assert_array_equal(head_mean[0], head_mean[1])
+    # classifier fresh + per-seed
+    ck = np.asarray(state.params["classifier"]["kernel"])
+    assert np.abs(ck[0] - ck[1]).max() > 1e-4
+
+
 # ---------------- torchvision-layout ImageNet backbones (resnet / mbnet)
 
 
