@@ -22,11 +22,11 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC_PER_GPU = 2_000_000 * 30 / (7 * 24 * 3600) / 4
 
 
-def _make_batch(batch_size: int, pre, seed: int = 0):
+def _make_batch(batch_size: int, pre, seed: int = 0, n_class: int = 527):
     rng = np.random.RandomState(seed)
     n = pre.fbank.buffer_length(pre.target_length)
     wav = (0.05 * rng.randn(batch_size, n)).astype(np.float32)
-    labels = (rng.rand(batch_size, 527) < 0.01).astype(np.float32)
+    labels = (rng.rand(batch_size, n_class) < 0.01).astype(np.float32)
     return {
         "wav": wav,
         "wav_mean": wav.mean(axis=1),
@@ -40,7 +40,8 @@ def _make_batch(batch_size: int, pre, seed: int = 0):
     }
 
 
-def run(batch_size: int = 64, steps: int = 40, act_compress: str = "none"):
+def run(batch_size: int = 64, steps: int = 40, act_compress: str = "none",
+        preset: str | None = None):
     """Times `steps` train steps executed ON DEVICE inside one lax.scan
     program (two alternating data batches; RNG folded per step). A single
     dispatch per measurement makes the number robust to host<->device
@@ -60,7 +61,12 @@ def run(batch_size: int = 64, steps: int = 40, act_compress: str = "none"):
     from psla_tpu.train.state import TrainState
     from psla_tpu.train.step import make_train_step_fn, tpu_compiler_options
 
-    cfg = ExperimentConfig(dtype="bfloat16", batch_size=batch_size)
+    if preset is not None:
+        from psla_tpu.config import from_preset
+
+        cfg = from_preset(preset, dtype="bfloat16", batch_size=batch_size)
+    else:
+        cfg = ExperimentConfig(dtype="bfloat16", batch_size=batch_size)
     pre = cfg.preprocess_config()
     model = create_model(
         cfg.model, label_dim=cfg.n_class, eff_b=cfg.eff_b,
@@ -85,8 +91,8 @@ def run(batch_size: int = 64, steps: int = 40, act_compress: str = "none"):
     stacked = jax.device_put(
         jax.tree.map(
             lambda *xs: np.stack(xs),
-            _make_batch(batch_size, pre, 0),
-            _make_batch(batch_size, pre, 1),
+            _make_batch(batch_size, pre, 0, cfg.n_class),
+            _make_batch(batch_size, pre, 1, cfg.n_class),
         )
     )
     rng = jax.random.PRNGKey(1)
@@ -462,6 +468,43 @@ def run_loader(n_clips: int = 512, batch_size: int = 64):
     )
 
 
+def run_fsd50k():
+    """(--fsd50k) Train-step throughput for the SECOND headline workload:
+    the FSD50K recipe shape (EffNet-B2+4head, 200 classes,
+    target_length=3000 — 30 s clips, ~2.8x the AudioSet sequence).
+
+    Baseline: the reference trains FSD50K (40 epochs x ~37k dev clips,
+    bs 24, T=3000) "in about 15 hours" train+eval on 4x GTX TITAN
+    (README.md:102) => <= 40*36796/(15*3600) ~ 27.3 clips/s aggregate,
+    ~6.8 clips/s per GPU (an overestimate of train-only speed since the
+    15 h includes per-epoch evals — conservative for us).
+
+    Batch sweep on v5e (same scan-differenced methodology): bs 64 -> 270,
+    96 -> 302, **128 -> 363**, 192 -> 266 clips/s; 256 fails to compile
+    (VMEM). Same shape as the AudioSet sweep: bs=128 is the knee, larger
+    loses to XLA tiling, not memory."""
+    fsd_baseline_per_gpu = 40 * 36796 / (15 * 3600) / 4
+    for bs in (128, 96, 64, 32, 16):
+        try:
+            clips_per_sec, loss = run(bs, preset="fsd50k")
+            assert np.isfinite(loss)
+            break
+        except Exception:
+            if bs == 16:
+                raise
+    print(
+        json.dumps(
+            {
+                "metric": "fsd50k_train_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s (EffNet-B2+4head, T=3000, bs=%d, bf16, "
+                "incl. on-device fbank+augment)" % bs,
+                "vs_baseline": round(clips_per_sec / fsd_baseline_per_gpu, 2),
+            }
+        )
+    )
+
+
 def main():
     import sys
 
@@ -476,6 +519,9 @@ def main():
         return
     if "--loader" in sys.argv:
         run_loader()
+        return
+    if "--fsd50k" in sys.argv:
+        run_fsd50k()
         return
     act_compress = "none"
     for i, arg in enumerate(sys.argv):

@@ -90,7 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train E independent seeds in ONE program over a "
                         "2-D (ensemble, data) mesh (the TPU-native form "
                         "of the reference's multi-run ensembles, "
-                        "README.md:206); must divide the device count")
+                        "README.md:206); any E on any device count — "
+                        "gcd(E, n_devices) mesh shards, rest unrolled")
     p.add_argument("--fbank-method", choices=["auto", "fft", "gemm", "pallas"],
                    default=None)
     p.add_argument("--fbank-precision", choices=["highest", "high", "default"],

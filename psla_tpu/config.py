@@ -90,7 +90,9 @@ class ExperimentConfig:
     # reference's multi-run ensembles behind the 0.474 headline,
     # README.md:206): E>1 trains E independent seeds in ONE program over
     # a 2-D ('ensemble', 'data') mesh — see train/ensemble_loop.py and
-    # the --ensemble-seeds CLI flag. Must divide the device count.
+    # the --ensemble-seeds CLI flag. Any E on any device count (the
+    # ensemble axis takes gcd(E, n_devices) shards; the rest unroll
+    # locally per shard).
     ensemble_seeds: int = 1
     # observability: capture a jax.profiler trace of training steps
     # [profile_start_step, profile_start_step + profile_steps) into

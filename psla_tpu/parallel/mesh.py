@@ -27,8 +27,15 @@ def make_mesh(
     num_devices: int | None = None,
     ensemble: int = 1,
     devices=None,
+    ensemble_axis: bool = False,
 ) -> Mesh:
-    """1-D ('data',) mesh, or 2-D ('ensemble', 'data') when ensemble > 1."""
+    """1-D ('data',) mesh, or 2-D ('ensemble', 'data') when ensemble > 1.
+
+    ``ensemble_axis=True`` forces the 2-D mesh even at ensemble == 1: the
+    shard_map'd ensemble steps (parallel/ensemble.py) address the
+    'ensemble' axis by name, so it must exist even when all members run
+    unrolled inside a single shard (e.g. ensemble training on one chip).
+    """
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
@@ -39,7 +46,7 @@ def make_mesh(
                 )
             devices = devices[:num_devices]
     devices = np.asarray(devices)
-    if ensemble > 1:
+    if ensemble > 1 or ensemble_axis:
         assert devices.size % ensemble == 0
         grid = devices.reshape(ensemble, devices.size // ensemble)
         return Mesh(grid, ("ensemble", "data"))

@@ -11,8 +11,11 @@ lockstep, each seed data-parallel over its mesh slice. Per-seed RNG
 streams (fold_in by seed index) give independent head init, mixup,
 SpecAugment, dropout, and drop-connect draws; the data stream is shared.
 
-Drive with ``--ensemble-seeds E`` (E must divide the device count). The
-full Trainer protocol applies per seed and to the seed-mean:
+Drive with ``--ensemble-seeds E`` (any E on any device count: the
+'ensemble' mesh axis takes gcd(E, n_devices) shards and the remaining
+members unroll locally per shard — 10 seeds on 8 chips or 2 seeds on one
+chip both work). The full Trainer protocol applies per seed and to the
+seed-mean:
 
   * the per-epoch ``predictions_{e}.csv`` holds the SEED-MEAN prediction
     matrix, so result.csv's ensemble columns and the running
@@ -67,14 +70,20 @@ class EnsembleTrainer(Trainer):
         self.num_seeds = config.ensemble_seeds
         self._seed_rows: dict[str, str] = {}  # seed_result.csv, keyed rows
         super().__init__(config, train_loader, val_loader, eval_loader)
-        # rebuild on the 2-D ('ensemble', 'data') mesh
+        # rebuild on the 2-D ('ensemble', 'data') mesh. The 'ensemble'
+        # axis takes the largest shard count compatible with both the
+        # seed count and the device count — gcd — and the remaining
+        # seeds-per-shard run unrolled inside each shard
+        # (parallel/ensemble.py), so ANY seed count works on ANY device
+        # count: 10 seeds on 8 chips (2-D (2,4) mesh, 5 local members),
+        # or 2 seeds on one chip (both members local).
+        import math
+
         n_dev = config.num_devices or len(jax.devices())
-        if n_dev % self.num_seeds:
-            raise ValueError(
-                f"ensemble_seeds={self.num_seeds} must divide the device "
-                f"count ({n_dev})"
-            )
-        self.mesh = make_mesh(config.num_devices, ensemble=self.num_seeds)
+        e_shards = math.gcd(self.num_seeds, n_dev)
+        self.mesh = make_mesh(
+            config.num_devices, ensemble=e_shards, ensemble_axis=True
+        )
         self.train_step = build_ensemble_train_step_single_rng(
             self.model, self.tx, self.pre_config, config.loss, self.mesh,
             self.num_seeds,

@@ -142,6 +142,49 @@ def test_ensemble_resume_extends_training(ens_run):
     assert np.all(np.asarray(tree["step"]) == 3)  # 1 step/epoch x 3 epochs
 
 
+def test_seeds_need_not_divide_devices(ens_run, tmp_path):
+    """--ensemble-seeds works on ANY device count: 2 seeds on a 1-device
+    mesh train as 2 unrolled local members of a (1, 1) ensemble mesh
+    (the single-chip layout; same mechanism carries 10 seeds on 8 chips).
+    Reuses the module corpus; 1 epoch."""
+    summary, exp_dir0 = ens_run
+    import json
+
+    with open(os.path.join(exp_dir0, "config.json")) as f:
+        cfg = json.load(f)
+    exp_dir = str(tmp_path / "ens1dev")
+    summary = cli.run([
+        "--data-train", cfg["data_train"],
+        "--data-val", cfg["data_val"],
+        "--label-csv", cfg["label_csv"],
+        "--exp-dir", exp_dir,
+        "--n_class", "3", "--eff_b", "0", "--att_head", "1",
+        "--impretrain", "False",
+        "--target_length", "64",
+        "--freqm", "0", "--timem", "0", "--mixup", "0.0",
+        "--lr", "2e-3", "--batch-size", "4", "--n-epochs", "1",
+        "--warmup", "False", "--wa", "False",
+        "--bal", "False", "--num-workers", "2",
+        "--ensemble-seeds", "2", "--num-devices", "1",
+    ])
+    assert np.isfinite(summary["best_single"]["eval_mAP"])
+    rows = np.atleast_2d(np.loadtxt(
+        os.path.join(exp_dir, "seed_result.csv"), delimiter=",", dtype=str
+    ))
+    epoch1 = [r for r in rows if r[0] == "1"][0]
+    assert len(epoch1) == 4  # key, 2 member mAPs, ensemble mAP
+    # genuinely distinct members even with both seeds local to one device
+    p0 = np.loadtxt(
+        os.path.join(exp_dir, "predictions", "predictions_1_seed0.csv"),
+        delimiter=",",
+    )
+    p1 = np.loadtxt(
+        os.path.join(exp_dir, "predictions", "predictions_1_seed1.csv"),
+        delimiter=",",
+    )
+    assert np.abs(p0 - p1).max() > 1e-4
+
+
 def test_per_seed_checkpoints_load_as_single_models(ens_run):
     """best_seed{i} checkpoints are plain single-model orbax trees."""
     import orbax.checkpoint as ocp

@@ -207,6 +207,86 @@ def test_ensemble_eval_sharded_matches_per_member():
     np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
 
 
+def test_ensemble_eval_local_members_match_per_member():
+    """E need not equal the 'ensemble' shard count: E=4 members over a
+    2-shard axis run 2 UNROLLED local members per shard (the path that
+    makes 10 seeds on 8 chips — and any E on one chip — possible). Each
+    member must still match its unsharded single-model eval."""
+    from psla_tpu.parallel.ensemble import build_ensemble_eval_step
+
+    cfg, pre, model, tx, batch = _setup()
+    members = _well_conditioned_members(model, 4)
+
+    ref = []
+    for v in members:
+        st = TrainState(
+            step=jnp.zeros((), jnp.int32), params=v["params"],
+            batch_stats=v["batch_stats"], opt_state=(),
+        )
+        out, _ = build_eval_step(model, pre, cfg.loss)(st, batch)
+        ref.append(np.asarray(out))
+
+    mesh = make_mesh(ensemble=2)  # 4 members -> 2 shards x 2 local
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ens = NamedSharding(mesh, P("ensemble"))
+    params = jax.device_put(
+        jax.tree.map(lambda *xs: np.stack(xs), *[m["params"] for m in members]),
+        ens,
+    )
+    bstats = jax.device_put(
+        jax.tree.map(
+            lambda *xs: np.stack(xs), *[m["batch_stats"] for m in members]
+        ),
+        ens,
+    )
+    step = build_ensemble_eval_step(model, pre, cfg.loss, mesh, 4)
+    out = np.asarray(step(params, bstats, shard_batch(batch, mesh))[0])
+    assert out.shape[0] == 4
+    for i in range(4):
+        np.testing.assert_allclose(out[i], ref[i], atol=1e-5)
+
+
+def test_ensemble_train_single_shard_axis_matches_per_seed():
+    """A degenerate (1, n) mesh — every member local, the single-chip
+    ensemble layout — must train each seed exactly like the 2-shard mesh
+    path (same fold_in-derived global seed indices)."""
+    from psla_tpu.parallel.ensemble import (
+        build_ensemble_train_step_single_rng,
+    )
+
+    cfg, pre, model, tx, batch = _setup()
+    example = jnp.zeros((1, 64, 128), jnp.float32)
+    rng = jax.random.PRNGKey(7)
+
+    def run(mesh):
+        state = init_ensemble_state(model, tx, [0, 1], example, mesh)
+        step = build_ensemble_train_step_single_rng(
+            model, tx, pre, cfg.loss, mesh, 2
+        )
+        state, metrics = step(state, shard_batch(batch, mesh), rng)
+        return (
+            jax.tree.map(np.asarray, state),
+            np.asarray(metrics["seed_loss"]),
+        )
+
+    s1, loss1 = run(make_mesh(ensemble=1, ensemble_axis=True))  # (1, 8)
+    s2, loss2 = run(make_mesh(ensemble=2))                      # (2, 4)
+    np.testing.assert_allclose(loss1, loss2, atol=3e-4)
+    for i in range(2):
+        a = ensemble_member(s1, i).params
+        b = ensemble_member(s2, i).params
+        diffs = [
+            np.abs(x - y).max()
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        ]
+        # different 'data'-axis widths reduce gradients in a different
+        # order; near-zero grads can flip an Adam update's sign, so a few
+        # leaves land ~lr apart while most match to float precision
+        assert max(diffs) < 3 * cfg.lr, max(diffs)
+        assert np.mean(diffs) < 3e-4, np.mean(diffs)
+
+
 def test_ensemble_train_sharded_matches_per_seed():
     """Each seed of the sharded ensemble train step must update exactly as
     the same seed trained alone through the single-model train step."""
