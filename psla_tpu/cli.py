@@ -153,6 +153,19 @@ def make_loaders(cfg: ExperimentConfig):
     from psla_tpu.parallel.distributed import process_info
 
     host_id, num_hosts = process_info()
+    if cfg.ensemble_seeds > 1 and num_hosts > 1:
+        # the ensemble mesh replicates the batch over the 'ensemble' axis,
+        # so a host's data-stream shard is its position WITHIN its
+        # ensemble row (hosts at the same position in different rows must
+        # feed identical rows) — remap before building any loader
+        import jax
+
+        from psla_tpu.parallel.ensemble import ensemble_layout
+
+        n_dev = cfg.num_devices or len(jax.devices())
+        _, host_id, num_hosts = ensemble_layout(
+            cfg.ensemble_seeds, n_dev, host_id, num_hosts
+        )
     pre = cfg.preprocess_config()
     buf = pre.fbank.buffer_length(cfg.target_length)
     train_df = load_datafile(cfg.data_train, cfg.label_csv)

@@ -50,6 +50,45 @@ from psla_tpu.train.state import TrainState
 from psla_tpu.train.step import tpu_compiler_options
 
 
+def ensemble_layout(
+    num_seeds: int, n_devices: int, host_id: int = 0, num_hosts: int = 1
+) -> tuple[int, int, int]:
+    """Choose the 'ensemble' mesh-axis shard count and the host's data
+    stream shard for an E-seed ensemble on n_devices across num_hosts.
+
+    Returns ``(e_shards, loader_host_id, loader_num_hosts)``:
+
+    * ``e_shards`` — the ensemble axis size: the largest common divisor
+      of (num_seeds, n_devices) whose rows also align with host
+      boundaries (whole host groups per row, or whole rows per host);
+      the remaining seeds-per-shard unroll locally
+      (build_ensemble_*_step). e_shards=1 always qualifies, so ANY seed
+      count works on ANY topology.
+    * ``(loader_host_id, loader_num_hosts)`` — the shard of the shared
+      data stream this host must feed. The batch is replicated over
+      'ensemble' and sharded over 'data', so a host's shard is its
+      position WITHIN its ensemble row (hosts at the same position in
+      different rows feed identical rows — loader seeding keys off this
+      position, keeping replication consistent); a host holding whole
+      rows feeds the full stream.
+
+    Assumes the standard multi-controller layout: jax.devices() ordered
+    by process with equal, contiguous per-host device blocks (true for
+    jax.distributed TPU pods and the gloo CPU test harness).
+    """
+    import math
+
+    e = math.gcd(num_seeds, n_devices)
+    while num_hosts % e and e % num_hosts:
+        e -= 1
+        while num_seeds % e or n_devices % e:
+            e -= 1
+    if num_hosts > e:
+        hosts_per_row = num_hosts // e
+        return e, host_id % hosts_per_row, hosts_per_row
+    return e, 0, 1
+
+
 def init_ensemble_state(model, tx, seeds, example, mesh) -> TrainState:
     """Initialize E stacked TrainStates, sharded over the 'ensemble' axis."""
 
@@ -206,8 +245,16 @@ def build_ensemble_eval_step(model, pre_config, loss_type, mesh,
 def ensemble_member(state: TrainState, i: int) -> TrainState:
     """Extract one seed's state (for checkpointing / eval). Scalar leaves
     (e.g. the step/count of a freshly built weight-averaged state) are
-    shared across seeds and pass through unchanged."""
-    return jax.tree.map(
-        lambda x: np.asarray(x)[i] if np.ndim(x) > 0 else np.asarray(x),
-        state,
-    )
+    shared across seeds and pass through unchanged. Multi-host: leaves
+    sharded over an ensemble axis spanning hosts are gathered first
+    (collective — every host must call this in the same order)."""
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from psla_tpu.parallel.distributed import allgather_host
+
+            x = allgather_host(x)
+        x = np.asarray(x)
+        return x[i] if np.ndim(x) > 0 else x
+
+    return jax.tree.map(fetch, state)

@@ -11,11 +11,15 @@ lockstep, each seed data-parallel over its mesh slice. Per-seed RNG
 streams (fold_in by seed index) give independent head init, mixup,
 SpecAugment, dropout, and drop-connect draws; the data stream is shared.
 
-Drive with ``--ensemble-seeds E`` (any E on any device count: the
-'ensemble' mesh axis takes gcd(E, n_devices) shards and the remaining
-members unroll locally per shard — 10 seeds on 8 chips or 2 seeds on one
-chip both work). The full Trainer protocol applies per seed and to the
-seed-mean:
+Drive with ``--ensemble-seeds E`` (any E on any topology: the 'ensemble'
+mesh axis takes the largest host-aligned common divisor of E and the
+device count — parallel/ensemble.ensemble_layout — and the remaining
+members unroll locally per shard; 10 seeds on 8 chips, 2 seeds on one
+chip, and the axis spanning hosts of a pod all work. Multi-host, each
+host's loader feeds its position within its ensemble row and eval
+outputs are allgathered; verified by a true 2-process run,
+tests/test_distributed.py). The full Trainer protocol applies per seed
+and to the seed-mean:
 
   * the per-epoch ``predictions_{e}.csv`` holds the SEED-MEAN prediction
     matrix, so result.csv's ensemble columns and the running
@@ -42,7 +46,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from psla_tpu.metrics import calculate_stats
-from psla_tpu.parallel.distributed import is_primary, make_global_batch
+from psla_tpu.parallel.distributed import (
+    allgather_host,
+    is_primary,
+    make_global_batch,
+)
 from psla_tpu.parallel.ensemble import (
     build_ensemble_eval_step,
     build_ensemble_train_step_single_rng,
@@ -62,25 +70,26 @@ class EnsembleTrainer(Trainer):
     def __init__(self, config, train_loader, val_loader, eval_loader=None):
         if config.ensemble_seeds < 2:
             raise ValueError("EnsembleTrainer needs ensemble_seeds >= 2")
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "ensemble-axis training is single-controller for now; "
-                "on a pod, run one ensemble program per host group"
-            )
         self.num_seeds = config.ensemble_seeds
         self._seed_rows: dict[str, str] = {}  # seed_result.csv, keyed rows
         super().__init__(config, train_loader, val_loader, eval_loader)
         # rebuild on the 2-D ('ensemble', 'data') mesh. The 'ensemble'
-        # axis takes the largest shard count compatible with both the
-        # seed count and the device count — gcd — and the remaining
-        # seeds-per-shard run unrolled inside each shard
-        # (parallel/ensemble.py), so ANY seed count works on ANY device
-        # count: 10 seeds on 8 chips (2-D (2,4) mesh, 5 local members),
-        # or 2 seeds on one chip (both members local).
-        import math
+        # axis takes the largest shard count compatible with the seed
+        # count, the device count, AND (multi-host) the host boundaries —
+        # ensemble_layout — and the remaining seeds-per-shard run
+        # unrolled inside each shard (parallel/ensemble.py), so ANY seed
+        # count works on ANY topology: 10 seeds on 8 chips (2-D (2,4)
+        # mesh, 5 local members), 2 seeds on one chip (both local), or
+        # 2 seeds across a 2-host pod (one row per host; the CLI shards
+        # each host's loader by its position within its row).
+        from psla_tpu.parallel.distributed import process_info
+        from psla_tpu.parallel.ensemble import ensemble_layout
 
         n_dev = config.num_devices or len(jax.devices())
-        e_shards = math.gcd(self.num_seeds, n_dev)
+        host_id, num_hosts = process_info()
+        e_shards, _, _ = ensemble_layout(
+            self.num_seeds, n_dev, host_id, num_hosts
+        )
         self.mesh = make_mesh(
             config.num_devices, ensemble=e_shards, ensemble_axis=True
         )
@@ -127,10 +136,20 @@ class EnsembleTrainer(Trainer):
         E = self.num_seeds
         payload = self._read_pretrained(path)  # torch.load / restore ONCE
 
+        # one host fetch of the stacked trees (a collective gather when
+        # the ensemble axis spans hosts), then slice members from numpy
+        def fetch(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return allgather_host(x)
+            return np.asarray(x)
+
+        host_params = jax.tree.map(fetch, dict(state.params))
+        host_stats = jax.tree.map(fetch, dict(state.batch_stats))
+
         def member_vars(i):
-            m = lambda t: jax.tree.map(lambda x: np.asarray(x)[i], dict(t))
-            return {"params": m(state.params),
-                    "batch_stats": m(state.batch_stats)}
+            m = lambda t: jax.tree.map(lambda x: x[i], t)
+            return {"params": m(host_params),
+                    "batch_stats": m(host_stats)}
 
         per_seed = [
             self._convert_pretrained(payload, member_vars(i)) for i in range(E)
@@ -141,11 +160,11 @@ class EnsembleTrainer(Trainer):
                 lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees
             )
 
-        new_params = dict(jax.tree.map(np.asarray, dict(state.params)))
+        new_params = dict(host_params)
         for k in per_seed[0]["params"]:
             if k not in _HEAD_KEYS:
                 new_params[k] = stack_key([p["params"][k] for p in per_seed])
-        new_stats = dict(jax.tree.map(np.asarray, dict(state.batch_stats)))
+        new_stats = dict(host_stats)
         for k in per_seed[0].get("batch_stats", {}):
             if k not in _HEAD_KEYS:
                 new_stats[k] = stack_key(
@@ -224,6 +243,7 @@ class EnsembleTrainer(Trainer):
         consumer sees the headline (seed-mean) metrics; per-seed stats are
         kept on ``self.last_member_stats`` and written to seed_result.csv.
         """
+        multihost = jax.process_count() > 1
         preds, targets, losses = [], [], []
         for host_batch in loader:
             n_valid = int(host_batch["n_valid"])
@@ -231,9 +251,26 @@ class EnsembleTrainer(Trainer):
             out, per_sample = self.eval_step(
                 state.params, state.batch_stats, batch
             )
-            preds.append(np.asarray(out)[:, :n_valid])
-            targets.append(host_batch["labels"][:n_valid])
-            losses.append(np.asarray(per_sample)[:, :n_valid])
+            if multihost:
+                # gather the full eval shard set; drop padded tail rows
+                # via a mask that travels the same global-array path as
+                # the outputs (mirrors Trainer.validate; outputs carry a
+                # leading seed axis, so the row mask applies to axis 1)
+                local_mask = np.zeros(len(host_batch["wav"]), bool)
+                local_mask[:n_valid] = True
+                data_sh = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec("data")
+                )
+                gmask = allgather_host(
+                    jax.make_array_from_process_local_data(data_sh, local_mask)
+                )
+                preds.append(allgather_host(out)[:, gmask])
+                targets.append(allgather_host(batch["labels"])[gmask])
+                losses.append(allgather_host(per_sample)[:, gmask])
+            else:
+                preds.append(np.asarray(out)[:, :n_valid])
+                targets.append(host_batch["labels"][:n_valid])
+                losses.append(np.asarray(per_sample)[:, :n_valid])
         output = np.concatenate(preds, axis=1)  # [E, N, C]
         target = np.concatenate(targets)
         loss = float(np.mean(np.concatenate(losses, axis=1)))

@@ -117,10 +117,92 @@ def run(local_slice=None):
     return losses, param_l1, float(np.sum(gathered))
 
 
+def run_ensemble(num_seeds=2):
+    """2-seed ensemble across ALL global devices: on the 2-proc harness
+    the ('ensemble', 'data') mesh puts one seed's row on each process
+    (ensemble_layout -> e_shards=2, full data stream per host), on the
+    single-process ground truth both rows are local. Returns per-seed
+    (losses, param_l1, prob_sums) — must agree between layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    from psla_tpu.config import ExperimentConfig
+    from psla_tpu.parallel.distributed import (
+        allgather_host, make_global_batch, process_info,
+    )
+    from psla_tpu.parallel.ensemble import (
+        build_ensemble_eval_step,
+        build_ensemble_train_step_single_rng,
+        ensemble_layout,
+        ensemble_member,
+        init_ensemble_state,
+    )
+    from psla_tpu.parallel.mesh import make_mesh
+    from psla_tpu.train.optim import make_optimizer, psla_lr_schedule
+
+    cfg = ExperimentConfig(
+        impretrain=False,
+        n_class=N_CLASS, eff_b=0, att_head=4, target_length=TARGET_LENGTH,
+        freqm=8, timem=8, mixup=0.5, lr=1e-3, batch_size=GLOBAL_BATCH,
+        warmup=True, bn_momentum=0.9,
+    )
+    pre = cfg.preprocess_config()
+    from psla_tpu.models import create_model
+
+    model = create_model(
+        cfg.model, label_dim=cfg.n_class, eff_b=cfg.eff_b,
+        head_num=cfg.att_head, bn_momentum=cfg.bn_momentum,
+    )
+    tx = make_optimizer(psla_lr_schedule(cfg.lr, steps_per_epoch=100))
+
+    host_id, num_hosts = process_info()
+    e_shards, loader_id, loader_hosts = ensemble_layout(
+        num_seeds, len(jax.devices()), host_id, num_hosts
+    )
+    mesh = make_mesh(ensemble=e_shards, ensemble_axis=True)
+
+    # shared data stream: this harness's layout gives every host the full
+    # batch (loader_hosts == 1); assert so silent layout drift is caught
+    assert (loader_id, loader_hosts) == (0, 1), (loader_id, loader_hosts)
+    host_batch = global_host_batch(pre)
+
+    example = jnp.zeros((1, TARGET_LENGTH, cfg.num_mel_bins), jnp.float32)
+    with mesh:
+        state = init_ensemble_state(
+            model, tx, list(range(num_seeds)), example, mesh
+        )
+        step = build_ensemble_train_step_single_rng(
+            model, tx, pre, cfg.loss, mesh, num_seeds
+        )
+        eval_step = build_ensemble_eval_step(
+            model, pre, cfg.loss, mesh, num_seeds
+        )
+        batch = make_global_batch(host_batch, mesh)
+        seed_losses = []
+        for _ in range(STEPS):
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+            seed_losses.append(
+                np.asarray(allgather_host(metrics["seed_loss"])).tolist()
+            )
+        probs, _ = eval_step(state.params, state.batch_stats, batch)
+        gathered = allgather_host(probs)
+    assert gathered.shape == (num_seeds, GLOBAL_BATCH, N_CLASS), gathered.shape
+    param_l1 = []
+    for i in range(num_seeds):
+        m = ensemble_member(state, i)  # exercises the multihost gather
+        param_l1.append(float(
+            np.sum([np.sum(np.abs(np.float64(p)))
+                    for p in jax.tree.leaves(m.params)])
+        ))
+    prob_sums = [float(np.sum(gathered[i])) for i in range(num_seeds)]
+    return seed_losses, param_l1, prob_sums
+
+
 def main():
     pid, nprocs, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     import jax
 
@@ -139,15 +221,19 @@ def main():
     assert process_info() == (pid, nprocs)
     assert is_primary() == (pid == 0)
 
-    per_host = GLOBAL_BATCH // nprocs
-    losses, param_l1, gathered_sum = run(
-        local_slice=(pid * per_host, (pid + 1) * per_host)
-    )
-    with open(os.path.join(outdir, f"proc{pid}.json"), "w") as f:
-        json.dump(
-            {"losses": losses, "param_l1": param_l1,
-             "gathered_sum": gathered_sum}, f,
+    if mode == "ensemble":
+        seed_losses, param_l1, prob_sums = run_ensemble()
+        payload = {"seed_losses": seed_losses, "param_l1": param_l1,
+                   "prob_sums": prob_sums}
+    else:
+        per_host = GLOBAL_BATCH // nprocs
+        losses, param_l1, gathered_sum = run(
+            local_slice=(pid * per_host, (pid + 1) * per_host)
         )
+        payload = {"losses": losses, "param_l1": param_l1,
+                   "gathered_sum": gathered_sum}
+    with open(os.path.join(outdir, f"proc{pid}.json"), "w") as f:
+        json.dump(payload, f)
     print(f"proc {pid} done", flush=True)
 
 

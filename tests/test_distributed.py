@@ -58,10 +58,9 @@ def test_allgather_host_identity_single_process():
     np.testing.assert_array_equal(got, np.arange(16.0).reshape(16, 1))
 
 
-def test_two_process_train_step_matches_single_process(tmp_path):
+def _launch_two_process(tmp_path, mode="plain"):
     """Launch 2 real processes (2 virtual CPU devices each) through the
-    framework's multi-host path and compare against a single-process run
-    over the same 8-row global batch."""
+    framework's multi-host path; return their parsed result payloads."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
@@ -82,7 +81,8 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         port = s.getsockname()[1]
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+            [sys.executable, worker, str(pid), "2", str(port),
+             str(tmp_path), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=repo_root,
         )
@@ -96,9 +96,16 @@ def test_two_process_train_step_matches_single_process(tmp_path):
                 p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
+    return (
+        json.load(open(tmp_path / "proc0.json")),
+        json.load(open(tmp_path / "proc1.json")),
+    )
 
-    r0 = json.load(open(tmp_path / "proc0.json"))
-    r1 = json.load(open(tmp_path / "proc1.json"))
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """2 real processes vs a single-process run on the same 8-row global
+    batch."""
+    r0, r1 = _launch_two_process(tmp_path, "plain")
     # the global program is identical on both hosts: losses/params agree
     # exactly, and every host gathered the full eval output
     assert r0 == r1
@@ -112,3 +119,24 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(r0["losses"], losses, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(r0["param_l1"], param_l1, rtol=2e-4)
     np.testing.assert_allclose(r0["gathered_sum"], gathered_sum, rtol=2e-3)
+
+
+def test_two_process_ensemble_matches_single_process(tmp_path):
+    """A 2-seed ensemble with the 'ensemble' mesh axis spanning 2 REAL
+    processes (one seed row per host, shared data stream) must train each
+    seed exactly like the same ensemble run single-process."""
+    r0, r1 = _launch_two_process(tmp_path, "ensemble")
+    # the global program is identical on both hosts
+    assert r0 == r1
+    assert len(r0["param_l1"]) == 2
+    # seeds are genuinely distinct models
+    assert abs(r0["param_l1"][0] - r0["param_l1"][1]) > 1e-6
+
+    from tests import distributed_worker as dw
+
+    seed_losses, param_l1, prob_sums = dw.run_ensemble()
+    np.testing.assert_allclose(
+        r0["seed_losses"], seed_losses, rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(r0["param_l1"], param_l1, rtol=2e-4)
+    np.testing.assert_allclose(r0["prob_sums"], prob_sums, rtol=2e-3)

@@ -207,7 +207,24 @@ def test_ensemble_eval_sharded_matches_per_member():
     np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
 
 
-def test_ensemble_eval_local_members_match_per_member():
+def test_ensemble_layout():
+    """Mesh-shard + loader-shard selection for every topology class."""
+    from psla_tpu.parallel.ensemble import ensemble_layout
+
+    # single host: plain gcd, full data stream
+    assert ensemble_layout(2, 8) == (2, 0, 1)
+    assert ensemble_layout(3, 8) == (1, 0, 1)       # all members local
+    assert ensemble_layout(10, 8) == (2, 0, 1)      # the 10-model protocol
+    assert ensemble_layout(2, 1) == (1, 0, 1)       # single chip
+    # multi-host, one row per host group
+    assert ensemble_layout(2, 8, host_id=3, num_hosts=4) == (2, 1, 2)
+    assert ensemble_layout(2, 8, host_id=1, num_hosts=4) == (2, 1, 2)
+    assert ensemble_layout(2, 8, host_id=2, num_hosts=4) == (2, 0, 2)
+    # whole rows per host: full stream
+    assert ensemble_layout(4, 8, host_id=1, num_hosts=2) == (4, 0, 1)
+    assert ensemble_layout(2, 4, host_id=1, num_hosts=2) == (2, 0, 1)
+    # incompatible gcd shrinks to a host-aligned common divisor
+    assert ensemble_layout(6, 6, host_id=3, num_hosts=4) == (2, 1, 2)
     """E need not equal the 'ensemble' shard count: E=4 members over a
     2-shard axis run 2 UNROLLED local members per shard (the path that
     makes 10 seeds on 8 chips — and any E on one chip — possible). Each
