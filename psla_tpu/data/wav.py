@@ -23,7 +23,13 @@ import numpy as np
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Decode a WAV file -> (waveform float32 [num_samples], sample_rate)."""
     with open(path, "rb") as f:
-        data = f.read()
+        return decode_wav(f.read(), name=path)
+
+
+def decode_wav(data: bytes, name: str = "<bytes>") -> tuple[np.ndarray, int]:
+    """Decode in-memory WAV bytes (e.g. an HTTP request body) ->
+    (waveform float32 [num_samples], sample_rate)."""
+    path = name
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
 
