@@ -194,26 +194,6 @@ def fbank_pallas(
     pb = banks_p.shape[0]
     nm_p = banks_p.shape[1]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(
-                a_parts.shape, lambda i, j, nv: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                banks_p.shape, lambda i, j, nv: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile, nm_p), lambda i, j, nv: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile + slack, row_w), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
     precision = config.matmul_precision
     if precision == jax.lax.Precision.HIGH:
         # Mosaic has no 3-pass HIGH dot; use the explicit bf16x3 split.
@@ -222,10 +202,90 @@ def fbank_pallas(
         _fbank_kernel, tile=tile, n_parts=n_parts, pb=pb, slack=slack,
         precision=precision,
     )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, nm_p), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(n_valid, rows, jnp.asarray(a_parts), jnp.asarray(banks_p))
+    a_parts = jnp.asarray(a_parts)
+    banks_p = jnp.asarray(banks_p)
+
+    def call(nv, rw, ap, bp):
+        bl = rw.shape[0]  # per-shard batch when wrapped in shard_map below
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bl, n_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(
+                    ap.shape, lambda i, j, n: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    bp.shape, lambda i, j, n: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile, nm_p), lambda i, j, n: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tile + slack, row_w), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        # under jax.shard_map (the ensemble axis / the data wrap below)
+        # pallas outputs must declare which manual mesh axes they vary
+        # over; propagate the union of the inputs' vma sets (empty
+        # outside shard_map, so this is a no-op there)
+        try:
+            vma = frozenset().union(*(jax.typeof(x).vma for x in (nv, rw, ap, bp)))
+            out_aval = jax.ShapeDtypeStruct(
+                (bl, n_tiles * tile, nm_p), jnp.float32, vma=vma
+            )
+        except (AttributeError, TypeError):  # older jax: no vma tracking
+            out_aval = jax.ShapeDtypeStruct(
+                (bl, n_tiles * tile, nm_p), jnp.float32
+            )
+        return pl.pallas_call(
+            kernel, out_shape=out_aval, grid_spec=grid_spec,
+            interpret=interpret,
+        )(nv, rw, ap, bp)
+
+    # Mosaic kernels cannot be partitioned by GSPMD. When tracing under a
+    # mesh with Auto (compiler-managed) axes — the 'data' axis inside the
+    # partial-manual ensemble shard_map (parallel/ensemble.py), or a plain
+    # multi-chip DP step under jax.sharding.set_mesh — wrap the kernel in
+    # a nested shard_map that makes those axes manual and shards the batch
+    # dim, so each device runs the kernel on its own batch shard. fbank is
+    # per-sample, so this is numerics-preserving by construction.
+    auto_axes = _ambient_auto_axes()
+    if auto_axes:
+        mesh_ctx, auto = auto_axes
+        shards = int(np.prod([mesh_ctx.shape[a] for a in auto]))
+        if b % shards == 0:
+            from jax.sharding import PartitionSpec as P
+
+            batch_spec = P(auto)
+            # check_vma=False: the kernel body mixes refs with differing
+            # vma sets (scalar-prefetch + HBM refs), which trips the vma
+            # consistency check in interpret mode; there are no
+            # collectives inside, so the check buys nothing here.
+            call = jax.shard_map(
+                call, mesh=mesh_ctx, axis_names=frozenset(auto),
+                in_specs=(batch_spec, batch_spec, P(), P()),
+                out_specs=batch_spec, check_vma=False,
+            )
+    out = call(n_valid, rows, a_parts, banks_p)
     return out[:, :target_frames, : config.num_mel_bins]
+
+
+def _ambient_auto_axes():
+    """The ambient abstract mesh and its Auto (GSPMD-managed) axis names,
+    or None when there is no mesh context / no Auto axes / an old jax."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is None or am.empty:
+            return None
+        auto = tuple(
+            n for n, t in zip(am.axis_names, am.axis_types)
+            if t == jax.sharding.AxisType.Auto
+        )
+    except (AttributeError, TypeError):
+        return None
+    return (am, auto) if auto else None

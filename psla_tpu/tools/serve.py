@@ -77,7 +77,10 @@ class InferenceEngine:
 
         def batch_probs(variables, wav, wav_mean, lengths):
             logmel = _chunk_logmel(wav, wav_mean, lengths, config)
-            return model.apply(variables, logmel, train=False)
+            # f32 on the wire regardless of the model's compute dtype
+            return model.apply(variables, logmel, train=False).astype(
+                jnp.float32
+            )
 
         self._batch_probs = jax.jit(batch_probs)
         self._jnp = jnp
@@ -268,6 +271,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for the forward pass (bf16 is the "
+                        "TPU serving default — checkpoint params stay f32; "
+                        "use float32 for bit-parity with offline eval)")
     return p
 
 
@@ -283,10 +291,13 @@ def engine_from_args(args) -> InferenceEngine:
         from psla_tpu import assets
 
         label_csv = assets.label_csv_for(args.dataset)
+    import jax.numpy as jnp
+
     names = make_name_dict(label_csv)
     model = create_model(
         args.model, label_dim=len(names), eff_b=args.eff_b,
         head_num=args.att_head,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     variables = load_variables(args.ckpt, args.model, len(names))
     config = PreprocessConfig(

@@ -107,3 +107,44 @@ def test_bf16x3_precision_mode(wavs):
     )
     ref = _ref(wav, lengths, target)
     np.testing.assert_allclose(out, ref, atol=1.5e-3, rtol=1e-4)
+
+
+def test_sharded_contexts_bit_exact(wavs):
+    """Mosaic kernels cannot be auto-partitioned by GSPMD: under a mesh
+    with Auto axes the wrapper nests a shard_map over them (sharding the
+    batch dim), both inside the partial-manual ensemble shard_map
+    (parallel/ensemble.py) and under plain jit + jax.sharding.set_mesh
+    (multi-chip DP). fbank is per-sample, so both must be bit-exact vs
+    the unsharded call."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    wav, lengths, _ = wavs
+    # batch of 8 so every mesh factorization divides it
+    wav = np.concatenate([wav, wav, wav[:2]])[:8]
+    lengths = np.concatenate([lengths, lengths, lengths[:2]])[:8]
+    target = 104
+    ref = np.asarray(
+        fbank_pallas(jnp.asarray(wav), jnp.asarray(lengths), config=CFG,
+                     target_frames=target)
+    )
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("ensemble", "data"))
+
+    with jax.sharding.set_mesh(mesh):
+        wj = jax.device_put(jnp.asarray(wav), NamedSharding(mesh, P("data")))
+        lj = jax.device_put(jnp.asarray(lengths), NamedSharding(mesh, P("data")))
+        dp = np.asarray(
+            fbank_pallas(wj, lj, config=CFG, target_frames=target)
+        )
+    np.testing.assert_array_equal(dp, ref)
+
+    def body(w, l):
+        return fbank_pallas(w, l, config=CFG, target_frames=target)
+
+    smf = jax.jit(
+        jax.shard_map(body, mesh=mesh, axis_names=frozenset({"ensemble"}),
+                      in_specs=(P(), P()), out_specs=P())
+    )
+    ens = np.asarray(smf(jnp.asarray(wav), jnp.asarray(lengths)))
+    np.testing.assert_array_equal(ens, ref)
