@@ -489,7 +489,11 @@ def run_fsd50k():
             clips_per_sec, loss = run(bs, preset="fsd50k")
             assert np.isfinite(loss)
             break
-        except Exception:
+        except Exception as e:
+            # print before falling back: a real regression (shape error,
+            # NaN) must not masquerade as a quieter smaller-batch result
+            print(f"bs={bs} failed ({type(e).__name__}: {e}); "
+                  "retrying smaller", flush=True)
             if bs == 16:
                 raise
     print(

@@ -64,6 +64,18 @@ def aggregate_stats(stats: dict) -> jax.Array:
     return jnp.einsum("ho,h->o", s1 / s0, hw)
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_applies(model):
+    """Per-model jitted apply fns (flax modules are frozen dataclasses,
+    so they key an lru_cache). Without this, every predict_long call —
+    e.g. each long-clip request in tools/serve.py — would build a fresh
+    jax.jit wrapper and pay a full XLA recompile."""
+    return (
+        jax.jit(lambda v, x: model.apply(v, x, train=False, return_stats=True)),
+        jax.jit(lambda v, x: model.apply(v, x, train=False)),
+    )
+
+
 def predict_long(
     model,
     variables,
@@ -99,10 +111,7 @@ def predict_long(
     supports_stats = "return_stats" in inspect.signature(
         type(model).__call__
     ).parameters
-    apply_stats = jax.jit(
-        lambda v, x: model.apply(v, x, train=False, return_stats=True)
-    )
-    apply_probs = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    apply_stats, apply_probs = _jitted_applies(model)
 
     stats_acc = None
     probs_acc = 0.0

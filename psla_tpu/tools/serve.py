@@ -71,6 +71,9 @@ class InferenceEngine:
         self.chunk_samples = config.fbank.buffer_length(config.target_length)
         self._queue: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
+        # counters are bumped from concurrent HTTP worker threads AND the
+        # batcher thread; dict += is a read-modify-write, so lock it
+        self._counter_lock = threading.Lock()
         self.counters = {
             "requests": 0, "batches": 0, "batched_rows": 0, "long_clips": 0,
         }
@@ -95,6 +98,10 @@ class InferenceEngine:
 
     # ------------------------------------------------------------ public
 
+    def _count(self, key: str, n: int = 1):
+        with self._counter_lock:
+            self.counters[key] += n
+
     def predict(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
         """[n_samples] float waveform -> [n_class] probabilities."""
         wav = np.asarray(wav, np.float32).reshape(-1)
@@ -103,21 +110,38 @@ class InferenceEngine:
             from psla_tpu.tools.prep_fsd import resample
 
             wav = resample(wav, sample_rate, want)
-        self.counters["requests"] += 1
+        self._count("requests")
         if wav.size > self.chunk_samples:
             # long clip: exact chunked aggregation, outside the hot batch
+            # (predict_long's jitted applies are lru-cached per model, so
+            # only the FIRST long clip pays a compile)
             from psla_tpu.inference import predict_long
 
-            self.counters["long_clips"] += 1
+            self._count("long_clips")
             return np.asarray(
                 predict_long(self.model, self.variables, wav, self.config)
             )
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         req = _Request(wav)
         self._queue.put(req)
-        req.event.wait()
+        # poll the stop flag so a shutdown can never strand this thread
+        # on a request the batcher already exited without serving
+        while not req.event.wait(timeout=1.0):
+            if self._stop.is_set() and not req.event.is_set():
+                raise RuntimeError("server shutting down")
         if req.error is not None:
             raise req.error
         return req.probs
+
+    def stats(self) -> dict:
+        """Consistent counter snapshot + derived occupancy."""
+        with self._counter_lock:
+            c = dict(self.counters)
+        c["mean_batch_occupancy"] = (
+            c["batched_rows"] / c["batches"] if c["batches"] else 0.0
+        )
+        return c
 
     def top_k(self, probs: np.ndarray, k: int) -> list[dict]:
         order = np.argsort(probs)[::-1][:k]
@@ -131,6 +155,17 @@ class InferenceEngine:
         self._stop.set()
         self._queue.put(None)  # wake the batcher
         self._thread.join(timeout=5)
+        # fail any requests still queued so their handler threads unblock
+        # (ThreadingHTTPServer's threads are daemonic, but a clean error
+        # response beats a stranded client)
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.error = RuntimeError("server shutting down")
+                req.event.set()
 
     # ----------------------------------------------------------- batcher
 
@@ -177,8 +212,8 @@ class InferenceEngine:
                 for r in batch:
                     r.error = e
             finally:
-                self.counters["batches"] += 1
-                self.counters["batched_rows"] += len(batch)
+                self._count("batches")
+                self._count("batched_rows", len(batch))
                 for r in batch:
                     r.event.set()
 
@@ -209,11 +244,7 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
                     "target_length": engine.config.target_length,
                 })
             elif path == "/stats":
-                c = dict(engine.counters)
-                c["mean_batch_occupancy"] = (
-                    c["batched_rows"] / c["batches"] if c["batches"] else 0.0
-                )
-                self._json(200, c)
+                self._json(200, engine.stats())
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -222,13 +253,13 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
             if path != "/predict":
                 self._json(404, {"error": f"unknown path {path}"})
                 return
-            top_k = 10
-            for part in query.split("&"):
-                if part.startswith("top_k="):
-                    top_k = int(part.split("=", 1)[1])
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
             try:
+                top_k = 10  # parse inside the try: bad values -> JSON 400
+                for part in query.split("&"):
+                    if part.startswith("top_k="):
+                        top_k = int(part.split("=", 1)[1])
                 ctype = self.headers.get("Content-Type", "")
                 if "json" in ctype:
                     payload = json.loads(body)

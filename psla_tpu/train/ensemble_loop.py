@@ -243,34 +243,20 @@ class EnsembleTrainer(Trainer):
         consumer sees the headline (seed-mean) metrics; per-seed stats are
         kept on ``self.last_member_stats`` and written to seed_result.csv.
         """
-        multihost = jax.process_count() > 1
         preds, targets, losses = [], [], []
         for host_batch in loader:
-            n_valid = int(host_batch["n_valid"])
             batch = make_global_batch(host_batch, self.mesh)
             out, per_sample = self.eval_step(
                 state.params, state.batch_stats, batch
             )
-            if multihost:
-                # gather the full eval shard set; drop padded tail rows
-                # via a mask that travels the same global-array path as
-                # the outputs (mirrors Trainer.validate; outputs carry a
-                # leading seed axis, so the row mask applies to axis 1)
-                local_mask = np.zeros(len(host_batch["wav"]), bool)
-                local_mask[:n_valid] = True
-                data_sh = jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec("data")
-                )
-                gmask = allgather_host(
-                    jax.make_array_from_process_local_data(data_sh, local_mask)
-                )
-                preds.append(allgather_host(out)[:, gmask])
-                targets.append(allgather_host(batch["labels"])[gmask])
-                losses.append(allgather_host(per_sample)[:, gmask])
-            else:
-                preds.append(np.asarray(out)[:, :n_valid])
-                targets.append(host_batch["labels"][:n_valid])
-                losses.append(np.asarray(per_sample)[:, :n_valid])
+            # shared Trainer gather helper; outputs carry a leading seed
+            # axis, so the padded-row mask applies to axis 1
+            out, tgt, per_sample = self._eval_batch_rows(
+                host_batch, batch, out, per_sample, seed_axis=True
+            )
+            preds.append(out)
+            targets.append(tgt)
+            losses.append(per_sample)
         output = np.concatenate(preds, axis=1)  # [E, N, C]
         target = np.concatenate(targets)
         loss = float(np.mean(np.concatenate(losses, axis=1)))
@@ -319,4 +305,5 @@ class EnsembleTrainer(Trainer):
                 + " ".join(f"{m:.4f}" for m in member_maps)
                 + f" | seed-ensemble mAP: {ens_map:.4f}"
             )
+        self._validate_barrier(epoch)
         return stats, loss

@@ -221,7 +221,23 @@ class Trainer:
     def _host_step(state: TrainState) -> int:
         """Global step as a host int (works for [E]-stacked ensemble
         states too, whose seeds advance in lockstep)."""
-        return int(np.max(np.asarray(state.step)))
+        step = state.step
+        if isinstance(step, jax.Array) and not step.is_fully_addressable:
+            # ensemble axis spans hosts: seeds advance in lockstep, so any
+            # locally addressable shard carries the value (no collective)
+            step = step.addressable_shards[0].data
+        return int(np.max(np.asarray(step)))
+
+    @staticmethod
+    def _host_fetch(x):
+        """State leaf -> host numpy. Leaves whose shards span other hosts
+        (the ensemble axis across a pod) are allgathered — a COLLECTIVE,
+        so every host must reach the caller in the same order."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from psla_tpu.parallel.distributed import allgather_host
+
+            return allgather_host(x)
+        return np.asarray(x)
 
     # ------------------------------------------------------- checkpointing
 
@@ -229,27 +245,31 @@ class Trainer:
         return os.path.join(self.exp_dir, "models", str(tag))
 
     def save_checkpoint(self, state: TrainState, tag):
-        # state is replicated, so rank 0 writes alone — concurrent
-        # same-path rmtree+save from every host would race on a shared
-        # exp_dir. The barrier keeps other hosts from reading (resume,
-        # weight averaging) a checkpoint that is still being written.
-        if is_primary():
-            path = self._ckpt_dir(tag)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            self._ckpt.save(
-                path,
-                {
-                    "step": np.asarray(state.step),
-                    "params": jax.tree.map(np.asarray, state.params),
-                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-                    "opt_state": jax.tree.map(np.asarray, state.opt_state),
-                },
-            )
+        # fetch BEFORE the rank gate: when the ensemble axis spans hosts
+        # the stacked leaves are not fully addressable and _host_fetch is
+        # a collective every host must join (replicated single-model
+        # states take the plain local np.asarray path).
+        host_tree = {
+            "step": self._host_fetch(state.step),
+            "params": jax.tree.map(self._host_fetch, state.params),
+            "batch_stats": jax.tree.map(self._host_fetch, state.batch_stats),
+            "opt_state": jax.tree.map(self._host_fetch, state.opt_state),
+        }
+        # rank 0 clears any stale dir alone (concurrent rmtree would race
+        # on a shared exp_dir), with a barrier so no host enters the save
+        # against a half-deleted path...
+        path = self._ckpt_dir(tag)
+        if is_primary() and os.path.exists(path):
+            shutil.rmtree(path)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices(f"psla_ckpt_{tag}")
+            multihost_utils.sync_global_devices(f"psla_ckpt_clear_{tag}")
+        # ...then EVERY process calls save: orbax coordinates multihost
+        # saves internally (sync_global_processes at start/commit; only
+        # process 0 writes the replicated host data), so a rank-gated
+        # call would desynchronize its barrier names and crash.
+        self._ckpt.save(path, host_tree)
 
     def restore_checkpoint(self, tag) -> TrainState:
         tree = self._ckpt.restore(self._ckpt_dir(tag))
@@ -509,34 +529,16 @@ class Trainer:
 
         Loss is the mean of per-sample losses (the reference averages
         per-batch means; identical for equal batch sizes)."""
-        multihost = jax.process_count() > 1
         preds, targets, losses = [], [], []
         for host_batch in loader:
-            n_valid = int(host_batch["n_valid"])
             batch = make_global_batch(host_batch, self.mesh)
             out, per_sample = self.eval_step(state, batch)
-            if multihost:
-                # gather the full eval shard set; drop each host's padded
-                # tail rows via a mask that travels the same global-array
-                # path as the outputs (so row order is consistent)
-                local_mask = np.zeros(len(host_batch["wav"]), bool)
-                local_mask[:n_valid] = True
-                data_sh = jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec("data")
-                )
-                gmask = allgather_host(
-                    jax.make_array_from_process_local_data(data_sh, local_mask)
-                )
-                out = allgather_host(out)[gmask]
-                tgt = allgather_host(batch["labels"])[gmask]
-                per_sample = allgather_host(per_sample)[gmask]
-                preds.append(out)
-                targets.append(tgt)
-                losses.append(per_sample)
-            else:
-                preds.append(np.asarray(out)[:n_valid])
-                targets.append(host_batch["labels"][:n_valid])
-                losses.append(np.asarray(per_sample)[:n_valid])
+            out, tgt, per_sample = self._eval_batch_rows(
+                host_batch, batch, out, per_sample
+            )
+            preds.append(out)
+            targets.append(tgt)
+            losses.append(per_sample)
         output = np.concatenate(preds)
         target = np.concatenate(targets)
         loss = float(np.mean(np.concatenate(losses)))
@@ -556,7 +558,48 @@ class Trainer:
                 eval_csv = os.path.join(pred_dir, "eval_target.csv")
                 if not os.path.exists(eval_csv):
                     np.savetxt(eval_csv, target, delimiter=",")
+        self._validate_barrier(epoch)
         return stats, loss
+
+    @staticmethod
+    def _validate_barrier(epoch):
+        """Multihost: make rank 0's prediction CSVs durable before any
+        host proceeds (post_training_summary reads them right after)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"psla_validate_{epoch}")
+
+    def _eval_batch_rows(self, host_batch, batch, out, per_sample,
+                         seed_axis: bool = False):
+        """One eval batch's (pred, target, loss) rows with padded tail
+        rows dropped. Multihost, gathers the full eval shard set; each
+        host's padded rows are dropped via a mask that travels the same
+        global-array path as the outputs (so row order is consistent).
+        With ``seed_axis`` the outputs carry a leading seed axis and the
+        row mask applies to axis 1."""
+        n_valid = int(host_batch["n_valid"])
+        row = (slice(None),) if seed_axis else ()
+        if jax.process_count() > 1:
+            local_mask = np.zeros(len(host_batch["wav"]), bool)
+            local_mask[:n_valid] = True
+            data_sh = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data")
+            )
+            gmask = allgather_host(
+                jax.make_array_from_process_local_data(data_sh, local_mask)
+            )
+            return (
+                allgather_host(out)[row + (gmask,)],
+                allgather_host(batch["labels"])[gmask],
+                allgather_host(per_sample)[row + (gmask,)],
+            )
+        keep = row + (slice(None, n_valid),)
+        return (
+            np.asarray(out)[keep],
+            host_batch["labels"][:n_valid],
+            np.asarray(per_sample)[keep],
+        )
 
     def validate_ensemble(self, epoch: int):
         """Running mean of per-epoch prediction CSVs
@@ -588,6 +631,7 @@ class Trainer:
         cfg = self.config
         total = None
         count = 0
+        to_delete = []
         for epoch in range(start_epoch, end_epoch + 1):
             path = self._ckpt_dir(f"epoch_{epoch}")
             if not os.path.exists(path):
@@ -597,7 +641,17 @@ class Trainer:
             total = part if total is None else jax.tree.map(np.add, total, part)
             count += 1
             if not cfg.save_model:
-                shutil.rmtree(path)
+                to_delete.append(path)
+        if to_delete:
+            # every host restores from these dirs at its own host-side
+            # pace: barrier first, then rank 0 alone deletes
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("psla_wa_delete")
+            if is_primary():
+                for path in to_delete:
+                    shutil.rmtree(path)
         if count == 0:
             raise FileNotFoundError(
                 f"no checkpoints in epochs [{start_epoch}, {end_epoch}]"

@@ -198,6 +198,40 @@ def run_ensemble(num_seeds=2):
     return seed_losses, param_l1, prob_sums
 
 
+def run_trainer_ensemble(outdir):
+    """EnsembleTrainer END-TO-END across processes — the advertised pod
+    case where the 'ensemble' axis spans hosts. Covers the epoch-end
+    host fetches on ensemble-sharded state (_host_step, save_checkpoint's
+    collective gather), multihost validate + seed_result.csv, per-seed
+    checkpoint extraction, weight averaging, and the post-training
+    protocol (all via cli.run, exactly as a pod launch would)."""
+    from psla_tpu import cli
+
+    datafile = os.environ["PSLA_TEST_DATAFILE"]
+    label_csv = os.environ["PSLA_TEST_LABELCSV"]
+    exp_dir = os.environ["PSLA_TEST_EXPDIR"]
+    summary = cli.run([
+        "--data-train", datafile,
+        "--data-val", datafile,
+        "--data-eval", datafile,
+        "--label-csv", label_csv,
+        "--exp-dir", exp_dir,
+        "--n_class", "3", "--eff_b", "0", "--att_head", "1",
+        "--impretrain", "False",
+        "--target_length", "64",
+        "--freqm", "0", "--timem", "0", "--mixup", "0.0",
+        "--lr", "2e-3", "--batch-size", "4", "--n-epochs", "1",
+        "--warmup", "False",
+        "--wa", "True", "--wa_start", "1", "--wa_end", "1",
+        "--bal", "False", "--num-workers", "1",
+        "--ensemble-seeds", "2",
+    ])
+    return {
+        "summary": {k: {m: float(v) for m, v in part.items()}
+                    for k, part in summary.items()},
+    }
+
+
 def main():
     pid, nprocs, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
@@ -225,6 +259,8 @@ def main():
         seed_losses, param_l1, prob_sums = run_ensemble()
         payload = {"seed_losses": seed_losses, "param_l1": param_l1,
                    "prob_sums": prob_sums}
+    elif mode == "trainer_ensemble":
+        payload = run_trainer_ensemble(outdir)
     else:
         per_host = GLOBAL_BATCH // nprocs
         losses, param_l1, gathered_sum = run(
