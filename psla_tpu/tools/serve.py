@@ -26,7 +26,10 @@ matter the traffic mix; the batcher thread drains up to B queued
 requests per dispatch (waiting at most --batch-window-ms for stragglers)
 so tail latency is one window + one model step. Clips longer than
 target_length frames take the exact chunked-aggregation path
-(psla_tpu/inference.py) outside the hot batch.
+(psla_tpu/inference.py) outside the hot batch. ``--num-devices N``
+shards each micro-batch over a 1-D data mesh (params replicated) for
+multi-chip serving — the inference analogue of the training mesh, with
+XLA deriving the (gather-only) cross-chip traffic.
 """
 
 from __future__ import annotations
@@ -56,7 +59,8 @@ class InferenceEngine:
     """Compiled model + micro-batching queue shared by HTTP workers."""
 
     def __init__(self, model, variables, config, names: dict,
-                 batch_size: int = 16, batch_window_ms: float = 5.0):
+                 batch_size: int = 16, batch_window_ms: float = 5.0,
+                 num_devices: int | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -79,13 +83,39 @@ class InferenceEngine:
         }
 
         def batch_probs(variables, wav, wav_mean, lengths):
-            logmel = _chunk_logmel(wav, wav_mean, lengths, config)
+            logmel = _chunk_logmel.__wrapped__(wav, wav_mean, lengths, config)
             # f32 on the wire regardless of the model's compute dtype
             return model.apply(variables, logmel, train=False).astype(
                 jnp.float32
             )
 
-        self._batch_probs = jax.jit(batch_probs)
+        if num_devices and num_devices > 1:
+            # multi-chip serving: the micro-batch is sharded over a 1-D
+            # 'data' mesh (params replicated) and XLA splits preprocessing
+            # + forward across chips — DataParallel-style throughput
+            # scaling with zero collective code (eval has no gradient
+            # reduction; the only cross-chip traffic is the output gather)
+            from psla_tpu.parallel.mesh import (
+                batch_sharding, make_mesh, replicated_sharding,
+            )
+
+            if self.batch_size % num_devices:
+                raise ValueError(
+                    f"batch_size {self.batch_size} is not divisible by "
+                    f"num_devices {num_devices}"
+                )
+            self.mesh = make_mesh(num_devices)
+            data_sh = batch_sharding(self.mesh)
+            repl = replicated_sharding(self.mesh)
+            self.variables = jax.device_put(variables, repl)
+            self._batch_probs = jax.jit(
+                batch_probs,
+                in_shardings=(repl, data_sh, data_sh, data_sh),
+                out_shardings=data_sh,
+            )
+        else:
+            self.mesh = None
+            self._batch_probs = jax.jit(batch_probs)
         self._jnp = jnp
         # compile once at startup so the first request pays no compile
         z = jnp.zeros((self.batch_size, self.chunk_samples), jnp.float32)
@@ -302,6 +332,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="shard each micro-batch over this many chips "
+                        "(1-D data mesh, params replicated); default: "
+                        "single device")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="compute dtype for the forward pass (bf16 is the "
@@ -340,6 +374,7 @@ def engine_from_args(args) -> InferenceEngine:
     return InferenceEngine(
         model, variables, config, names,
         batch_size=args.batch_size, batch_window_ms=args.batch_window_ms,
+        num_devices=args.num_devices,
     )
 
 

@@ -178,6 +178,38 @@ def test_long_clip_uses_chunked_path(served):
         assert abs(got[i] - float(ref[i])) < 1e-4
 
 
+def test_mesh_sharded_engine_matches_single_device(served):
+    """--num-devices N serving: the micro-batch sharded over the 8-device
+    CPU mesh produces the same probabilities as the 1-device engine."""
+    base, engine, model, variables, config = served
+    names = {i: f"class_{i}" for i in range(N_CLASS)}
+    mesh_engine = InferenceEngine(
+        model, variables, config, names,
+        batch_size=8, batch_window_ms=1.0, num_devices=8,
+    )
+    try:
+        assert mesh_engine.mesh is not None
+        assert mesh_engine.mesh.shape["data"] == 8
+        n = config.fbank.buffer_length(TARGET_LENGTH) // 2
+        wav = (0.1 * np.random.RandomState(7).randn(n)).astype(np.float32)
+        got = mesh_engine.predict(wav, SR)
+        ref = engine.predict(wav, SR)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        mesh_engine.close()
+
+
+def test_mesh_engine_rejects_indivisible_batch():
+    config = PreprocessConfig(
+        fbank=FbankConfig(sample_frequency=float(SR)),
+        target_length=TARGET_LENGTH,
+    )
+    model = create_model("efficientnet", label_dim=N_CLASS, eff_b=0,
+                         head_num=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        InferenceEngine(model, {}, config, {}, batch_size=6, num_devices=4)
+
+
 def test_bad_request_is_400_and_server_survives(served):
     base, *_ = served
     req = urllib.request.Request(
