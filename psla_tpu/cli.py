@@ -112,6 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of this many train "
                         "steps into {exp_dir}/profile")
     p.add_argument("--profile-start-step", type=int, default=None)
+    p.add_argument("--compilation-cache", type=str, default=None,
+                   help="persistent XLA compilation cache dir (restarts "
+                        "and pod relaunches skip the train-step compile)")
     return p
 
 
@@ -137,6 +140,7 @@ _ARG_TO_FIELD = {
     "remat": "remat", "tensorboard": "tensorboard",
     "profile_steps": "profile_steps",
     "profile_start_step": "profile_start_step",
+    "compilation_cache": "compilation_cache",
 }
 
 

@@ -104,6 +104,11 @@ class ExperimentConfig:
     # {exp_dir}/tb for tensorboard, alongside the reference-style
     # result.csv artifacts. Rank 0 only; needs the tensorboard package.
     tensorboard: bool = False
+    # persistent XLA compilation cache directory: restarted/resumed runs
+    # (and every host of a pod relaunch) skip the multi-10s train-step
+    # compile. Empty = disabled. Safe to share across runs — entries are
+    # keyed on program+compiler fingerprints.
+    compilation_cache: str = ""
 
     def preprocess_config(self) -> PreprocessConfig:
         return PreprocessConfig(

@@ -68,6 +68,14 @@ class Trainer:
         os.makedirs(os.path.join(self.exp_dir, "predictions"), exist_ok=True)
         config.save(os.path.join(self.exp_dir, "config.json"))
 
+        if config.compilation_cache:
+            # persistent XLA cache: a restarted/resumed run (or a pod
+            # relaunch) skips the multi-10s train-step compile
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.abspath(config.compilation_cache),
+            )
+
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         self.model = create_model(
             config.model,

@@ -80,6 +80,37 @@ def test_preset_and_override():
     assert cfg.batch_size == 24
 
 
+def test_compilation_cache_flag(tmp_path):
+    """--compilation-cache maps to the config and the Trainer wires it
+    into jax (persistent XLA cache for restart/relaunch compile skips)."""
+    import jax
+
+    cache = str(tmp_path / "xla_cache")
+    args = cli.build_parser().parse_args(["--compilation-cache", cache])
+    cfg = cli.config_from_args(args)
+    assert cfg.compilation_cache == cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        from psla_tpu.config import ExperimentConfig
+        from psla_tpu.train.loop import Trainer
+
+        tiny = ExperimentConfig(
+            exp_dir=str(tmp_path / "exp"), n_class=3, eff_b=0, att_head=1,
+            impretrain=False, target_length=64, batch_size=8,
+            compilation_cache=cache,
+        )
+
+        class _Loader:  # Trainer init only asks for batches_per_epoch
+            def batches_per_epoch(self):
+                return 1
+
+        Trainer(tiny, _Loader(), _Loader())
+        assert jax.config.jax_compilation_cache_dir == os.path.abspath(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_console_entry_exit_code(monkeypatch):
     """pyproject wires psla-train to sys.exit(cli.main(...)): main must
     return 0 on success, NOT the summary dict (sys.exit(dict) = status 1)."""
