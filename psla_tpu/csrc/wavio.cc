@@ -187,6 +187,12 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
       std::memcpy(&v, p, 4);
       emit(i, v);
     });
+  } else if (format == 3 && bits == 64) {  // IEEE double (e.g. scipy f64)
+    stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      double v;
+      std::memcpy(&v, p, 8);
+      emit(i, static_cast<float>(v));
+    });
   } else if (format == 1 && bits == 16) {
     stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
       int16_t v = static_cast<int16_t>(rd_u16(p));
@@ -242,6 +248,12 @@ int decode_full(const char* path, std::vector<float>* out, int32_t* rate) {
   } else if (pw.format == 3 && pw.bits == 32) {
     stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {
       std::memcpy(&o[i], p, 4);
+    });
+  } else if (pw.format == 3 && pw.bits == 64) {
+    stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {
+      double v;
+      std::memcpy(&v, p, 8);
+      o[i] = static_cast<float>(v);
     });
   } else if (pw.format == 1 && pw.bits == 8) {
     stream_samples(raw, pw.n_frames, stride, [&](int64_t i, const uint8_t* p) {

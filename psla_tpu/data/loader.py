@@ -15,7 +15,10 @@ mixing sees the same partner distribution.
 
 Multi-host: each host constructs its loader with (host_id, num_hosts); a
 weighted sampler shard draws from the full distribution with a host-unique
-seed; a sequential (eval) shard takes a strided slice of the dataset.
+seed (iid with replacement, so hosts need no coordination); a uniform
+(bal=False) shard partitions ONE global permutation by host stride
+(DistributedSampler semantics); a sequential (eval) shard takes a strided
+slice of the dataset.
 """
 
 from __future__ import annotations
@@ -76,10 +79,18 @@ class AudioLoader:
         self._labels = datafile.label_matrix()
         seed = config.seed * 1009 + config.host_id
         if weights is not None:
+            # with-replacement draws are iid: a host-unique seed sampling
+            # the full distribution is exactly DistributedSampler-correct
             self._sampler = WeightedSampler(weights, seed=seed)
             self._sequential = False
         elif shuffle:
-            self._sampler = UniformSampler(len(datafile), seed=seed)
+            # without replacement the hosts must PARTITION one global
+            # permutation (same seed everywhere, host-strided slice) or
+            # they would overlap on ~25% of samples and skip others
+            self._sampler = UniformSampler(
+                len(datafile), seed=config.seed * 1009,
+                host_id=config.host_id, num_hosts=config.num_hosts,
+            )
             self._sequential = False
         else:
             self._sampler = None
@@ -142,35 +153,37 @@ class AudioLoader:
     def _build_batch(self, idxs: np.ndarray, n_valid: int) -> dict:
         cfg = self.config
         bs = len(idxs)
-        wav, mean, length = self._decode_paths(
-            [self.datafile.wav_path(i) for i in idxs]
-        )
-        batch = {
+        paths = [self.datafile.wav_path(i) for i in idxs]
+        if cfg.mixup:
+            # primaries + mixup partners decode as ONE combined batch
+            # call so the native thread pool is dispatched once per batch
+            mix_idxs = self._mix_rng.integers(0, len(self.datafile), size=bs)
+            wav, mean, length = self._decode_paths(
+                paths + [self.datafile.wav_path(i) for i in mix_idxs]
+            )
+            return {
+                "wav": wav[:bs],
+                "wav_mean": mean[:bs],
+                "length": length[:bs],
+                "labels": self._labels[idxs],
+                "n_valid": np.int32(n_valid),
+                "mix_wav": wav[bs:],
+                "mix_wav_mean": mean[bs:],
+                "mix_length": length[bs:],
+                "mix_labels": self._labels[mix_idxs],
+            }
+        wav, mean, length = self._decode_paths(paths)
+        return {
             "wav": wav,
             "wav_mean": mean,
             "length": length,
             "labels": self._labels[idxs],
             "n_valid": np.int32(n_valid),
+            "mix_wav": wav,
+            "mix_wav_mean": mean,
+            "mix_length": length,
+            "mix_labels": self._labels[idxs],
         }
-        if cfg.mixup:
-            mix_idxs = self._mix_rng.integers(0, len(self.datafile), size=bs)
-            mwav, mmean, mlength = self._decode_paths(
-                [self.datafile.wav_path(i) for i in mix_idxs]
-            )
-            batch.update(
-                mix_wav=mwav,
-                mix_wav_mean=mmean,
-                mix_length=mlength,
-                mix_labels=self._labels[mix_idxs],
-            )
-        else:
-            batch.update(
-                mix_wav=batch["wav"],
-                mix_wav_mean=batch["wav_mean"],
-                mix_length=batch["length"],
-                mix_labels=batch["labels"],
-            )
-        return batch
 
     def __iter__(self):
         cfg = self.config

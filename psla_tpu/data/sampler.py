@@ -65,12 +65,22 @@ class WeightedSampler:
 
 class UniformSampler:
     """Shuffled without-replacement sampler (the bal=False path,
-    run.py:90-94)."""
+    run.py:90-94).
 
-    def __init__(self, n: int, seed: int = 0):
+    Multi-host: every host must construct it with the SAME seed; each
+    epoch is one global permutation partitioned across hosts by stride
+    (torch DistributedSampler semantics), so hosts train on disjoint
+    samples that together cover the dataset. (With-replacement weighted
+    sampling has no such requirement — independent per-host draws from
+    the full distribution are already iid.)"""
+
+    def __init__(self, n: int, seed: int = 0, host_id: int = 0,
+                 num_hosts: int = 1):
         self._n = n
         self._seed = seed
         self._rng = np.random.default_rng(seed)
+        self._host_id = host_id
+        self._num_hosts = num_hosts
 
     def epoch(
         self, num_samples: int | None = None, epoch: int | None = None
@@ -80,6 +90,8 @@ class UniformSampler:
             else np.random.default_rng((self._seed, epoch))
         )
         perm = rng.permutation(self._n)
+        if self._num_hosts > 1:
+            perm = perm[self._host_id::self._num_hosts]
         if num_samples is not None:
             perm = perm[:num_samples]
         return perm

@@ -3,7 +3,7 @@
 Replaces the reference's ``torchaudio.load`` (libsox/soundfile C backend;
 reference: src/dataloaders/audioset_dataset.py:91) for the host-side decode
 step. Supports the formats AudioSet/FSD50K dumps actually use: PCM 8/16/24/32
-and IEEE float32, mono or multichannel. Samples are normalized to [-1, 1]
+and IEEE float32/float64, mono or multichannel. Samples are normalized to [-1, 1]
 float32 exactly like torchaudio (int16 / 32768, etc.). Multichannel files
 return only the first channel, matching the reference's use of
 ``waveform[0]`` semantics (it always indexes channel 0).
@@ -56,8 +56,13 @@ def decode_wav(data: bytes, name: str = "<bytes>") -> tuple[np.ndarray, int]:
         # of the SubFormat GUID at offset 24 of the fmt chunk.
         (audio_format,) = struct.unpack("<H", fmt_body[24:26])
 
-    if audio_format == 3:  # IEEE float
-        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    if audio_format == 3:  # IEEE float (32- or 64-bit per the fmt chunk)
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"{path}: unsupported float bit depth {bits}")
     elif audio_format == 1:
         if bits == 16:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

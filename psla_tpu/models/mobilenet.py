@@ -30,6 +30,11 @@ INVERTED_RESIDUAL_SETTINGS = (
 
 
 class _ConvBNReLU6(nn.Module):
+    # Kept separate from layers.ConvBN on purpose: the flax param paths of
+    # this module are a stable public format (orbax checkpoints +
+    # models/convert.py's torchvision mobilenet_v2 mapping target them);
+    # swapping the implementation class risks silent path drift for zero
+    # functional gain.
     features: int
     kernel: int = 3
     stride: int = 1

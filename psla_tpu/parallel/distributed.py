@@ -66,7 +66,9 @@ def make_global_batch(batch: dict, mesh) -> dict:
     Single-process: plain device_put (identical to parallel.mesh.
     shard_batch). Multi-process: each host contributes its local rows via
     make_array_from_process_local_data; the global batch dim is
-    local_rows * num_hosts.
+    local_rows * num_hosts. 'n_valid' stays host-side (see
+    mesh.shard_batch) — its per-host values differ on padded eval
+    batches, so it must never pose as a replicated global array.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -75,6 +77,7 @@ def make_global_batch(batch: dict, mesh) -> dict:
 
         return shard_batch(batch, mesh)
 
+    batch = {k: v for k, v in batch.items() if k != "n_valid"}
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 

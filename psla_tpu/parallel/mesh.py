@@ -69,7 +69,13 @@ def ensemble_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch (dict of numpy arrays) onto the mesh, batch-dim
-    sharded over 'data'. Scalars are replicated."""
+    sharded over 'data'. Scalars are replicated.
+
+    'n_valid' is host-side metadata (padded-row count, read only by the
+    host loops) and is dropped from the device batch — shipping it as a
+    "replicated" array would be a lie on multi-host eval, where the
+    per-host values genuinely differ."""
+    batch = {k: v for k, v in batch.items() if k != "n_valid"}
     data_size = mesh.shape["data"]
     rows = next(
         np.asarray(v).shape[0] for v in batch.values() if np.ndim(v) > 0

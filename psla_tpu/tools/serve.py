@@ -108,10 +108,17 @@ class InferenceEngine:
             data_sh = batch_sharding(self.mesh)
             repl = replicated_sharding(self.mesh)
             self.variables = jax.device_put(variables, repl)
-            self._batch_probs = jax.jit(
-                batch_probs,
-                in_shardings=(repl, data_sh, data_sh, data_sh),
-                out_shardings=data_sh,
+            from psla_tpu.train.step import with_mesh_context
+
+            # set_mesh at trace time so the pallas fbank's shard_map wrap
+            # sees the data axis (GSPMD can't partition Mosaic kernels)
+            self._batch_probs = with_mesh_context(
+                jax.jit(
+                    batch_probs,
+                    in_shardings=(repl, data_sh, data_sh, data_sh),
+                    out_shardings=data_sh,
+                ),
+                self.mesh,
             )
         else:
             self.mesh = None

@@ -73,18 +73,22 @@ class EnsembleTrainer(Trainer):
         self.num_seeds = config.ensemble_seeds
         self._seed_rows: dict[str, str] = {}  # seed_result.csv, keyed rows
         super().__init__(config, train_loader, val_loader, eval_loader)
-        # rebuild on the 2-D ('ensemble', 'data') mesh. The 'ensemble'
-        # axis takes the largest shard count compatible with the seed
-        # count, the device count, AND (multi-host) the host boundaries —
-        # ensemble_layout — and the remaining seeds-per-shard run
-        # unrolled inside each shard (parallel/ensemble.py), so ANY seed
-        # count works on ANY topology: 10 seeds on 8 chips (2-D (2,4)
-        # mesh, 5 local members), 2 seeds on one chip (both local), or
-        # 2 seeds across a 2-host pod (one row per host; the CLI shards
-        # each host's loader by its position within its row).
+
+    def _build_steps(self):
+        """2-D ('ensemble', 'data') mesh + shard_map'd multi-seed steps
+        (overrides the Trainer hook — built exactly once). The 'ensemble'
+        axis takes the largest shard count compatible with the seed
+        count, the device count, AND (multi-host) the host boundaries —
+        ensemble_layout — and the remaining seeds-per-shard run
+        unrolled inside each shard (parallel/ensemble.py), so ANY seed
+        count works on ANY topology: 10 seeds on 8 chips (2-D (2,4)
+        mesh, 5 local members), 2 seeds on one chip (both local), or
+        2 seeds across a 2-host pod (one row per host; the CLI shards
+        each host's loader by its position within its row)."""
         from psla_tpu.parallel.distributed import process_info
         from psla_tpu.parallel.ensemble import ensemble_layout
 
+        config = self.config
         n_dev = config.num_devices or len(jax.devices())
         host_id, num_hosts = process_info()
         e_shards, _, _ = ensemble_layout(
@@ -270,9 +274,7 @@ class EnsembleTrainer(Trainer):
 
         if is_primary():
             pred_dir = os.path.join(self.exp_dir, "predictions")
-            target_csv = os.path.join(pred_dir, "target.csv")
-            if not os.path.exists(target_csv):
-                np.savetxt(target_csv, target, delimiter=",")
+            self._write_target_csv(pred_dir, "target.csv", target)
             np.savetxt(
                 os.path.join(pred_dir, f"predictions_{epoch}.csv"),
                 mean_pred, delimiter=",",
@@ -292,9 +294,7 @@ class EnsembleTrainer(Trainer):
                     if os.path.exists(prev):
                         os.remove(prev)
             if eval_target:
-                eval_csv = os.path.join(pred_dir, "eval_target.csv")
-                if not os.path.exists(eval_csv):
-                    np.savetxt(eval_csv, target, delimiter=",")
+                self._write_target_csv(pred_dir, "eval_target.csv", target)
             member_maps = [
                 float(np.mean([s["AP"] for s in ms])) for ms in member_stats
             ]

@@ -88,7 +88,6 @@ class Trainer:
             act_compress=config.act_compress,
         )
         self.pre_config = config.preprocess_config()
-        self.mesh = make_mesh(config.num_devices)
 
         self.steps_per_epoch = max(1, train_loader.batches_per_epoch())
         self.schedule = psla_lr_schedule(
@@ -99,16 +98,28 @@ class Trainer:
             warmup=config.warmup,
         )
         self.tx = make_optimizer(self.schedule, config.weight_decay)
-        self.train_step = build_train_step(
-            self.model, self.tx, self.pre_config, config.loss, mesh=self.mesh
-        )
-        self.eval_step = build_eval_step(
-            self.model, self.pre_config, config.loss, mesh=self.mesh
-        )
+        self._build_steps()
         self.rng = jax.random.PRNGKey(config.seed)
         self._ckpt = ocp.PyTreeCheckpointer()
         self._profiling = False
         self._tb = None
+        # target CSVs this process has (re)written: the first write of
+        # each per process OVERWRITES, so reusing an exp_dir never scores
+        # new predictions against a stale target matrix from an old run
+        self._targets_refreshed: set[str] = set()
+
+    def _build_steps(self):
+        """Mesh + jitted step construction. Overridden by EnsembleTrainer
+        (2-D ensemble mesh + shard_map'd multi-seed steps) so each
+        trainer builds its execution exactly once."""
+        cfg = self.config
+        self.mesh = make_mesh(cfg.num_devices)
+        self.train_step = build_train_step(
+            self.model, self.tx, self.pre_config, cfg.loss, mesh=self.mesh
+        )
+        self.eval_step = build_eval_step(
+            self.model, self.pre_config, cfg.loss, mesh=self.mesh
+        )
 
     # ------------------------------------------------------ tensorboard
 
@@ -363,8 +374,32 @@ class Trainer:
         cfg = self.config
         progress = self._load_progress()
         if resume and progress["epoch"] > 0:
-            state = self.restore_checkpoint(f"epoch_{progress['epoch']}")
-            print(f"resumed from epoch {progress['epoch']}")
+            tag = f"epoch_{progress['epoch']}"
+            if os.path.isdir(self._ckpt_dir(tag)):
+                state = self.restore_checkpoint(tag)
+                print(f"resumed from epoch {progress['epoch']}")
+            else:
+                # per-epoch checkpoints are deleted by weight averaging
+                # when save_model=False (traintest.py:310-311 semantics)
+                fallback = next(
+                    (t for t in ("wa", "best")
+                     if os.path.isdir(self._ckpt_dir(t))), None,
+                )
+                if progress["epoch"] >= cfg.n_epochs and fallback:
+                    # run already completed (incl. wa); nothing to train
+                    state = self.restore_checkpoint(fallback)
+                    print(
+                        f"resume: per-epoch checkpoints were deleted "
+                        f"(save_model=False) and training is complete; "
+                        f"loaded '{fallback}'"
+                    )
+                    return state
+                raise FileNotFoundError(
+                    f"cannot resume: models/{tag} is missing (per-epoch "
+                    "checkpoints are deleted by weight averaging when "
+                    "save_model=False). Keep save_model=True for "
+                    "resumable runs, or restart without --resume."
+                )
         else:
             progress = {
                 "epoch": 0, "global_step": 0, "best_epoch": 0,
@@ -435,6 +470,7 @@ class Trainer:
                     )
                     if np.isnan(loss):
                         print("training diverged...")
+                        self._profile_flush()  # finalize any open trace
                         return state
                 end_time = time.time()
             self._profile_flush()
@@ -554,20 +590,27 @@ class Trainer:
 
         if is_primary():
             pred_dir = os.path.join(self.exp_dir, "predictions")
-            target_csv = os.path.join(pred_dir, "target.csv")
-            if not os.path.exists(target_csv):
-                np.savetxt(target_csv, target, delimiter=",")
+            self._write_target_csv(pred_dir, "target.csv", target)
             np.savetxt(
                 os.path.join(pred_dir, f"predictions_{epoch}.csv"),
                 output,
                 delimiter=",",
             )
             if eval_target:
-                eval_csv = os.path.join(pred_dir, "eval_target.csv")
-                if not os.path.exists(eval_csv):
-                    np.savetxt(eval_csv, target, delimiter=",")
+                self._write_target_csv(pred_dir, "eval_target.csv", target)
         self._validate_barrier(epoch)
         return stats, loss
+
+    def _write_target_csv(self, pred_dir: str, name: str, target):
+        """Write a target matrix once per process: the FIRST write
+        overwrites any file left by a previous run in the same exp_dir
+        (stale targets would silently corrupt ensemble/protocol metrics),
+        later calls keep it (the reference writes target.csv once,
+        traintest.py:269-270)."""
+        path = os.path.join(pred_dir, name)
+        if name not in self._targets_refreshed or not os.path.exists(path):
+            np.savetxt(path, target, delimiter=",")
+            self._targets_refreshed.add(name)
 
     @staticmethod
     def _validate_barrier(epoch):

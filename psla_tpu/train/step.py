@@ -10,6 +10,8 @@ from the sharding annotations.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -45,6 +47,29 @@ def tpu_compiler_options() -> dict | None:
 
 def _wav_batch(batch: dict) -> WavBatch:
     return WavBatch(**{k: batch[k] for k in _BATCH_FIELDS})
+
+
+def with_mesh_context(fn, mesh):
+    """Call (and therefore TRACE) ``fn`` under ``jax.sharding.set_mesh``.
+
+    ``jax.jit(..., in_shardings=...)`` alone leaves the ambient abstract
+    mesh EMPTY at trace time, so mesh-aware lowerings — the pallas fbank's
+    nested shard_map wrap (fbank_pallas._ambient_auto_axes), which GSPMD
+    cannot partition on its own — would silently not engage on multi-chip
+    meshes. The context makes the mesh's Auto axes visible while tracing;
+    it costs nothing per call once the jit cache is warm. Single-device
+    meshes skip the context entirely: GSPMD places unpartitioned Mosaic
+    kernels fine, and tracing under set_mesh measurably changes XLA's
+    choices on the 1-chip hot path (~11% train throughput on v5e)."""
+    if mesh.size == 1:
+        return fn
+
+    @functools.wraps(fn)
+    def call(*args, **kwargs):
+        with jax.sharding.set_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return call
 
 
 def _per_sample_loss(probs, targets, loss_type):
@@ -114,14 +139,14 @@ def build_train_step(
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         batch_shardings = {k: data for k in _BATCH_FIELDS}
-        batch_shardings["n_valid"] = repl
-        return jax.jit(
+        jitted = jax.jit(
             train_step,
             in_shardings=(repl, batch_shardings, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
             compiler_options=tpu_compiler_options(),
         )
+        return with_mesh_context(jitted, mesh)
     return jax.jit(
         train_step, donate_argnums=(0,), compiler_options=tpu_compiler_options()
     )
@@ -162,11 +187,11 @@ def build_eval_step(
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         batch_shardings = {k: data for k in _BATCH_FIELDS}
-        batch_shardings["n_valid"] = repl
-        return jax.jit(
+        jitted = jax.jit(
             eval_step,
             in_shardings=(repl, batch_shardings),
             out_shardings=(data, data),
             compiler_options=tpu_compiler_options(),
         )
+        return with_mesh_context(jitted, mesh)
     return jax.jit(eval_step, compiler_options=tpu_compiler_options())

@@ -120,6 +120,24 @@ def test_uniform_sampler_is_permutation():
     assert sorted(e.tolist()) == list(range(10))
 
 
+def test_uniform_sampler_multihost_partitions_global_permutation():
+    """bal=False multi-host (DistributedSampler semantics): hosts with the
+    same seed stride one global permutation — disjoint shards that jointly
+    cover the dataset, per epoch."""
+    shards = [
+        UniformSampler(10, seed=5, host_id=h, num_hosts=2).epoch(5, epoch=3)
+        for h in (0, 1)
+    ]
+    assert all(len(s) == 5 for s in shards)
+    assert not set(shards[0]) & set(shards[1])
+    assert set(shards[0]) | set(shards[1]) == set(range(10))
+    # different epochs reshuffle
+    again = UniformSampler(10, seed=5, host_id=0, num_hosts=2).epoch(5, epoch=4)
+    assert set(again.tolist()) != set(shards[0].tolist()) or not np.array_equal(
+        again, shards[0]
+    )
+
+
 def test_loader_batches(tmp_path):
     datafile, label_csv = build_corpus(
         str(tmp_path), num_classes=3, clips_per_class=3, seconds=0.5

@@ -46,8 +46,9 @@ def test_make_global_batch_matches_shard_batch():
     # batch dim sharded over the 8 'data' devices
     assert len(out["wav"].sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(out["wav"]), batch["wav"])
-    # scalar replicated
-    assert np.asarray(out["n_valid"]) == 16
+    # n_valid is host-side metadata: per-host values differ on padded
+    # eval batches, so it must never ship as a "replicated" device array
+    assert "n_valid" not in out
 
 
 def test_allgather_host_identity_single_process():

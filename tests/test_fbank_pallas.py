@@ -109,6 +109,80 @@ def test_bf16x3_precision_mode(wavs):
     np.testing.assert_allclose(out, ref, atol=1.5e-3, rtol=1e-4)
 
 
+def test_dp_eval_step_engages_shard_map_wrap(monkeypatch):
+    """The Trainer's jitted steps use jit(in_shardings=...), which leaves
+    the ambient abstract mesh EMPTY at trace time — with_mesh_context
+    (train/step.py) must re-establish it via set_mesh so the pallas
+    fbank's nested shard_map wrap engages on multi-chip DP (GSPMD cannot
+    partition Mosaic kernels). Spy-asserts the wrap saw the 'data' Auto
+    axis AND that outputs match the single-device pallas path."""
+    import importlib
+
+    import jax
+
+    fp_mod = importlib.import_module("psla_tpu.frontend.fbank_pallas")
+    from psla_tpu.frontend.fbank import FbankConfig
+    from psla_tpu.frontend.pipeline import PreprocessConfig
+    from psla_tpu.models import create_model
+    from psla_tpu.parallel.mesh import make_mesh, shard_batch
+    from psla_tpu.train.state import TrainState
+    from psla_tpu.train.step import build_eval_step
+
+    seen = []
+    orig = fp_mod._ambient_auto_axes
+
+    def spy():
+        r = orig()
+        seen.append(None if r is None else tuple(r[1]))
+        return r
+
+    monkeypatch.setattr(fp_mod, "_ambient_auto_axes", spy)
+    # retrace even if an earlier test already traced these static args
+    fp_mod.fbank_pallas.clear_cache()
+
+    target = 64
+    pre = PreprocessConfig(
+        fbank=FbankConfig(), target_length=target, fbank_method="pallas"
+    )
+    rng = np.random.default_rng(1)
+    b = 8
+    n = pre.fbank.buffer_length(target)
+    wav = (0.1 * rng.standard_normal((b, n))).astype(np.float32)
+    batch = {
+        "wav": wav, "wav_mean": wav.mean(1),
+        "length": np.full(b, n, np.int32),
+        "labels": np.eye(4, dtype=np.float32)[rng.integers(4, size=b)],
+        "mix_wav": wav[::-1].copy(), "mix_wav_mean": wav.mean(1)[::-1].copy(),
+        "mix_length": np.full(b, n, np.int32),
+        "mix_labels": np.zeros((b, 4), np.float32),
+        "n_valid": np.int32(b),
+    }
+    import jax.numpy as jnp2
+
+    model = create_model("efficientnet", label_dim=4, eff_b=0, head_num=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp2.zeros((1, target, 128)), train=False
+    )
+    state = TrainState(
+        step=jnp2.zeros((), jnp2.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), opt_state=(),
+    )
+
+    probs_1dev, loss_1dev = build_eval_step(model, pre)(state, batch)
+
+    mesh = make_mesh(8)
+    step = build_eval_step(model, pre, mesh=mesh)
+    seen.clear()
+    probs_dp, loss_dp = step(state, shard_batch(batch, mesh))
+    assert ("data",) in seen, seen  # the wrap saw the Auto data axis
+    np.testing.assert_allclose(
+        np.asarray(probs_dp), np.asarray(probs_1dev), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(loss_dp), np.asarray(loss_1dev), atol=1e-5
+    )
+
+
 def test_sharded_contexts_bit_exact(wavs):
     """Mosaic kernels cannot be auto-partitioned by GSPMD: under a mesh
     with Auto axes the wrapper nests a shard_map over them (sharding the

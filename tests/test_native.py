@@ -26,6 +26,9 @@ def _write_fmt(path, w, fmt):
     if fmt == "f32":
         raw = w.astype("<f4").tobytes()
         code, bits, ch = 3, 32, 1
+    elif fmt == "f64":
+        raw = w.astype("<f8").tobytes()
+        code, bits, ch = 3, 64, 1
     elif fmt == "pcm24":
         v = np.round(np.clip(w, -1, 1) * 8388607).astype(np.int64)
         b = np.zeros((n, 3), np.uint8)
@@ -76,7 +79,8 @@ def test_batch_decode_bit_exact(tmp_path):
         assert abs(means[i] - np.float32(gold.mean())) < 2e-7
 
 
-@pytest.mark.parametrize("fmt", ["f32", "pcm24", "pcm8", "pcm32", "stereo16"])
+@pytest.mark.parametrize("fmt", ["f32", "f64", "pcm24", "pcm8", "pcm32",
+                                 "stereo16"])
 def test_formats_bit_exact(tmp_path, fmt):
     rng = np.random.default_rng(hash(fmt) % 2**31)
     w = (rng.standard_normal(5000) * 0.3).clip(-1, 1)
