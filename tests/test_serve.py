@@ -199,6 +199,35 @@ def test_mesh_sharded_engine_matches_single_device(served):
         mesh_engine.close()
 
 
+def test_close_drains_queued_requests(served):
+    """Shutdown never strands a handler thread: requests still queued
+    when the batcher exits are failed with a clean error on close()."""
+    import queue as queue_mod
+
+    from psla_tpu.tools.serve import _Request
+
+    _, engine, model, variables, config = served
+    # fresh engine so closing it doesn't affect the shared fixture
+    names = {i: f"class_{i}" for i in range(N_CLASS)}
+    eng = InferenceEngine(
+        model, variables, config, names, batch_size=2, batch_window_ms=1.0
+    )
+    # stop the batcher first, then strand a request in the queue
+    eng._stop.set()
+    eng._queue.put(None)
+    eng._thread.join(timeout=10)
+    stranded = _Request(np.zeros(100, np.float32))
+    eng._queue.put(stranded)
+    eng.close()
+    assert stranded.event.is_set()
+    assert isinstance(stranded.error, RuntimeError)
+    with pytest.raises(queue_mod.Empty):
+        eng._queue.get_nowait()
+    # and predict() refuses new work after shutdown instead of hanging
+    with pytest.raises(RuntimeError, match="shutting down"):
+        eng.predict(np.zeros(100, np.float32), SR)
+
+
 def test_mesh_engine_rejects_indivisible_batch():
     config = PreprocessConfig(
         fbank=FbankConfig(sample_frequency=float(SR)),
