@@ -42,6 +42,8 @@ def decode_wav(data: bytes, name: str = "<bytes>") -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:  # truncated/malformed header -> ValueError
+                raise ValueError(f"{path}: fmt chunk too short ({len(body)})")
             fmt = struct.unpack("<HHIIHH", body[:16])
             fmt_body = body
         elif chunk_id == b"data":

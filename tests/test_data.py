@@ -66,6 +66,36 @@ def test_wav_stereo_takes_first_channel(tmp_path):
     np.testing.assert_allclose(got, left.astype(np.float32) / 32768.0)
 
 
+def test_decode_wav_malformed_bytes_raise_valueerror():
+    """serve.py feeds UNTRUSTED request bodies to decode_wav: every
+    malformed input (random bytes, plausible-RIFF prefixes, truncations
+    of a real file) must raise ValueError — never an uncontrolled
+    exception type, never garbage output."""
+    from psla_tpu.data.wav import decode_wav, write_wav
+
+    rng = np.random.default_rng(0)
+    for i in range(300):
+        n = int(rng.integers(0, 300))
+        blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        if i % 3 == 0:  # bias toward plausible RIFF headers
+            blob = b"RIFF" + blob[:8] + b"WAVE" + blob[12:]
+        with pytest.raises(ValueError):
+            decode_wav(blob)
+    # truncations of a real PCM16 file either decode a prefix or raise
+    import tempfile, os
+
+    tmp = tempfile.mktemp(suffix=".wav")
+    write_wav(tmp, np.linspace(-0.5, 0.5, 1000, dtype=np.float32), 16000)
+    blob = open(tmp, "rb").read()
+    os.unlink(tmp)
+    for cut in range(0, len(blob), 13):
+        try:
+            wav, sr = decode_wav(blob[:cut])
+            assert sr == 16000 and wav.dtype == np.float32
+        except ValueError:
+            pass
+
+
 def test_datafile_parsing(tmp_path):
     datafile, label_csv = build_corpus(str(tmp_path), num_classes=3, clips_per_class=2)
     df = load_datafile(datafile, label_csv)
