@@ -72,6 +72,23 @@ def with_mesh_context(fn, mesh):
     return call
 
 
+def _tolerate_hostmeta(fn, batch_argnum: int):
+    """Accept raw loader batches: 'n_valid' is host-side metadata that
+    shard_batch/make_global_batch drop before the device, but a caller
+    handing the jitted step a loader batch directly shouldn't hit an
+    in_shardings pytree mismatch over an unused key."""
+
+    @functools.wraps(fn)
+    def call(*args, **kwargs):
+        batch = args[batch_argnum]
+        if isinstance(batch, dict) and "n_valid" in batch:
+            batch = {k: v for k, v in batch.items() if k != "n_valid"}
+            args = args[:batch_argnum] + (batch,) + args[batch_argnum + 1:]
+        return fn(*args, **kwargs)
+
+    return call
+
+
 def _per_sample_loss(probs, targets, loss_type):
     p = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
     if loss_type == "BCE":
@@ -146,7 +163,7 @@ def build_train_step(
             donate_argnums=(0,),
             compiler_options=tpu_compiler_options(),
         )
-        return with_mesh_context(jitted, mesh)
+        return _tolerate_hostmeta(with_mesh_context(jitted, mesh), 1)
     return jax.jit(
         train_step, donate_argnums=(0,), compiler_options=tpu_compiler_options()
     )
@@ -193,5 +210,5 @@ def build_eval_step(
             out_shardings=(data, data),
             compiler_options=tpu_compiler_options(),
         )
-        return with_mesh_context(jitted, mesh)
+        return _tolerate_hostmeta(with_mesh_context(jitted, mesh), 1)
     return jax.jit(eval_step, compiler_options=tpu_compiler_options())
