@@ -254,27 +254,40 @@ def fbank_pallas(
     # a nested shard_map that makes those axes manual and shards the batch
     # dim, so each device runs the kernel on its own batch shard. fbank is
     # per-sample, so this is numerics-preserving by construction.
-    auto_axes = _ambient_auto_axes()
-    if auto_axes:
-        mesh_ctx, auto = auto_axes
-        shards = int(np.prod([mesh_ctx.shape[a] for a in auto]))
-        # shards == 1 (single-chip mesh): GSPMD places the kernel whole —
-        # wrapping anyway costs ~11% train throughput for nothing
-        if shards > 1 and b % shards == 0:
-            from jax.sharding import PartitionSpec as P
+    wrap = _wrap_decision(b, _ambient_auto_axes())
+    if wrap:
+        mesh_ctx, auto = wrap
+        from jax.sharding import PartitionSpec as P
 
-            batch_spec = P(auto)
-            # check_vma=False: the kernel body mixes refs with differing
-            # vma sets (scalar-prefetch + HBM refs), which trips the vma
-            # consistency check in interpret mode; there are no
-            # collectives inside, so the check buys nothing here.
-            call = jax.shard_map(
-                call, mesh=mesh_ctx, axis_names=frozenset(auto),
-                in_specs=(batch_spec, batch_spec, P(), P()),
-                out_specs=batch_spec, check_vma=False,
-            )
+        batch_spec = P(auto)
+        # check_vma=False: the kernel body mixes refs with differing
+        # vma sets (scalar-prefetch + HBM refs), which trips the vma
+        # consistency check in interpret mode; there are no
+        # collectives inside, so the check buys nothing here.
+        call = jax.shard_map(
+            call, mesh=mesh_ctx, axis_names=frozenset(auto),
+            in_specs=(batch_spec, batch_spec, P(), P()),
+            out_specs=batch_spec, check_vma=False,
+        )
     out = call(n_valid, rows, a_parts, banks_p)
     return out[:, :target_frames, : config.num_mel_bins]
+
+
+def _wrap_decision(b: int, auto_axes):
+    """Whether (and over which mesh/axes) to shard_map-wrap the kernel.
+
+    Must return the wrap even when the auto axes have ONE total shard:
+    under an active mesh context GSPMD refuses Mosaic kernels outright
+    ("cannot be automatically partitioned"), regardless of whether any
+    partitioning is needed — regression caught on-chip when a shards>1
+    guard broke 1-chip ensemble training. The single-chip hot path avoids
+    the wrap cost by never entering a mesh context at all
+    (train/step.py:with_mesh_context skips 1-device meshes)."""
+    if not auto_axes:
+        return None
+    mesh_ctx, auto = auto_axes
+    shards = int(np.prod([mesh_ctx.shape[a] for a in auto]))
+    return (mesh_ctx, auto) if b % shards == 0 else None
 
 
 def _ambient_auto_axes():

@@ -183,6 +183,33 @@ def test_dp_eval_step_engages_shard_map_wrap(monkeypatch):
     )
 
 
+def test_wrap_decision_fires_even_at_one_shard():
+    """Under an active mesh context GSPMD refuses Mosaic kernels outright
+    regardless of shard count, so the wrap must fire for 1-shard auto
+    axes too (on-chip regression: a shards>1 guard broke single-chip
+    ensemble training, where the partial-manual shard_map leaves a
+    size-1 'data' auto axis)."""
+    import importlib
+
+    import jax
+    from jax.sharding import Mesh
+
+    fp_mod = importlib.import_module("psla_tpu.frontend.fbank_pallas")
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                 ("ensemble", "data"))
+    with jax.sharding.set_mesh(mesh1):
+        axes = fp_mod._ambient_auto_axes()
+        assert axes is not None
+        assert fp_mod._wrap_decision(8, axes) is not None
+    # no mesh context -> no wrap
+    assert fp_mod._wrap_decision(8, fp_mod._ambient_auto_axes()) is None
+    # indivisible batch -> no wrap (kernel falls back to GSPMD whole)
+    mesh8 = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    with jax.sharding.set_mesh(mesh8):
+        assert fp_mod._wrap_decision(7, fp_mod._ambient_auto_axes()) is None
+        assert fp_mod._wrap_decision(8, fp_mod._ambient_auto_axes()) is not None
+
+
 def test_sharded_contexts_bit_exact(wavs):
     """Mosaic kernels cannot be auto-partitioned by GSPMD: under a mesh
     with Auto axes the wrapper nests a shard_map over them (sharding the
