@@ -287,6 +287,11 @@ def _wrap_decision(b: int, auto_axes):
         return None
     mesh_ctx, auto = auto_axes
     shards = int(np.prod([mesh_ctx.shape[a] for a in auto]))
+    # Indivisible batches fall through unwrapped: fine in interpret mode
+    # (CPU tests — interpreted pallas is ordinary XLA, GSPMD handles it),
+    # but on a real chip Mosaic will then refuse with its own clear
+    # error. Keep device batches divisible by the mesh (shard_batch
+    # enforces this for the data axis already).
     return (mesh_ctx, auto) if b % shards == 0 else None
 
 

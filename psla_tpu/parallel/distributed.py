@@ -77,7 +77,9 @@ def make_global_batch(batch: dict, mesh) -> dict:
 
         return shard_batch(batch, mesh)
 
-    batch = {k: v for k, v in batch.items() if k != "n_valid"}
+    from psla_tpu.parallel.mesh import drop_host_meta
+
+    batch = drop_host_meta(batch)
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 

@@ -67,15 +67,23 @@ def ensemble_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("ensemble"))
 
 
+def drop_host_meta(batch: dict) -> dict:
+    """Strip host-side metadata keys ('n_valid': the padded-row count,
+    read only by the host loops) from a loader batch before it ships to
+    the device. One source of truth for every boundary: shard_batch,
+    make_global_batch, and the jitted steps' call wrappers — shipping
+    n_valid as a "replicated" array would be a lie on multi-host eval,
+    where the per-host values genuinely differ."""
+    if "n_valid" in batch:
+        return {k: v for k, v in batch.items() if k != "n_valid"}
+    return batch
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch (dict of numpy arrays) onto the mesh, batch-dim
-    sharded over 'data'. Scalars are replicated.
-
-    'n_valid' is host-side metadata (padded-row count, read only by the
-    host loops) and is dropped from the device batch — shipping it as a
-    "replicated" array would be a lie on multi-host eval, where the
-    per-host values genuinely differ."""
-    batch = {k: v for k, v in batch.items() if k != "n_valid"}
+    sharded over 'data'. Scalars are replicated; host metadata is dropped
+    (drop_host_meta)."""
+    batch = drop_host_meta(batch)
     data_size = mesh.shape["data"]
     rows = next(
         np.asarray(v).shape[0] for v in batch.values() if np.ndim(v) > 0

@@ -77,13 +77,23 @@ def _tolerate_hostmeta(fn, batch_argnum: int):
     shard_batch/make_global_batch drop before the device, but a caller
     handing the jitted step a loader batch directly shouldn't hit an
     in_shardings pytree mismatch over an unused key."""
+    from psla_tpu.parallel.mesh import drop_host_meta
+
+    def strip(b):
+        return drop_host_meta(b) if isinstance(b, dict) else b
 
     @functools.wraps(fn)
     def call(*args, **kwargs):
-        batch = args[batch_argnum]
-        if isinstance(batch, dict) and "n_valid" in batch:
-            batch = {k: v for k, v in batch.items() if k != "n_valid"}
-            args = args[:batch_argnum] + (batch,) + args[batch_argnum + 1:]
+        if "batch" in kwargs:
+            kwargs = dict(kwargs, batch=strip(kwargs["batch"]))
+        elif len(args) > batch_argnum:
+            args = (
+                args[:batch_argnum]
+                + (strip(args[batch_argnum]),)
+                + args[batch_argnum + 1:]
+            )
+        # too-few-args calls fall through so jit reports its own
+        # clear TypeError instead of an IndexError here
         return fn(*args, **kwargs)
 
     return call

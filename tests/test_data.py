@@ -66,7 +66,7 @@ def test_wav_stereo_takes_first_channel(tmp_path):
     np.testing.assert_allclose(got, left.astype(np.float32) / 32768.0)
 
 
-def test_decode_wav_malformed_bytes_raise_valueerror():
+def test_decode_wav_malformed_bytes_raise_valueerror(tmp_path):
     """serve.py feeds UNTRUSTED request bodies to decode_wav: every
     malformed input (random bytes, plausible-RIFF prefixes, truncations
     of a real file) must raise ValueError — never an uncontrolled
@@ -82,12 +82,9 @@ def test_decode_wav_malformed_bytes_raise_valueerror():
         with pytest.raises(ValueError):
             decode_wav(blob)
     # truncations of a real PCM16 file either decode a prefix or raise
-    import tempfile, os
-
-    tmp = tempfile.mktemp(suffix=".wav")
+    tmp = str(tmp_path / "clip.wav")
     write_wav(tmp, np.linspace(-0.5, 0.5, 1000, dtype=np.float32), 16000)
     blob = open(tmp, "rb").read()
-    os.unlink(tmp)
     for cut in range(0, len(blob), 13):
         try:
             wav, sr = decode_wav(blob[:cut])

@@ -203,7 +203,8 @@ def test_wrap_decision_fires_even_at_one_shard():
         assert fp_mod._wrap_decision(8, axes) is not None
     # no mesh context -> no wrap
     assert fp_mod._wrap_decision(8, fp_mod._ambient_auto_axes()) is None
-    # indivisible batch -> no wrap (kernel falls back to GSPMD whole)
+    # indivisible batch -> no wrap (OK in interpret mode; on a real chip
+    # Mosaic then refuses with its own error — keep batches divisible)
     mesh8 = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
     with jax.sharding.set_mesh(mesh8):
         assert fp_mod._wrap_decision(7, fp_mod._ambient_auto_axes()) is None
