@@ -100,8 +100,7 @@ def regenerate_goldens(path=None):
     source: torchaudio if importable (the true reference dependency),
     else the cross-validated numpy oracle. Provenance is stored in the
     'source' array."""
-    cases = {k: v for k, v in _cases().items()
-             if k in ("tone440", "quiet_short", "square100")}
+    cases = _cases()  # pin ALL grounding cases, not a subset
     try:
         import torch
         import torchaudio

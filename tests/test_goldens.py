@@ -20,8 +20,17 @@ from psla_tpu.frontend.fbank_pallas import fbank_pallas
 GOLDEN = np.load(
     os.path.join(os.path.dirname(__file__), "goldens", "kaldi_fbank.npz")
 )
-CASES = ("tone440", "quiet_short", "square100")
+CASES = ("noise", "quiet_short", "speechlike", "square100", "tone440")
 CFG = FbankConfig()
+
+
+def test_golden_has_provenance():
+    """The npz must carry the 'source' array regenerate_goldens stamps
+    (which oracle recorded it) and cover every grounding case."""
+    assert "source" in GOLDEN.files, GOLDEN.files
+    for name in CASES:
+        assert f"wav_{name}" in GOLDEN.files, name
+        assert f"fbank_{name}" in GOLDEN.files, name
 
 
 @pytest.mark.parametrize("name", CASES)
