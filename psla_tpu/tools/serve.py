@@ -9,8 +9,14 @@ chunked pooling-exact long-audio path for clips longer than the model
 window:
 
     python -m psla_tpu.tools.serve --ckpt exp/as-01/models/best \
-        [--label-csv ...] [--port 8000] [--batch-size 16] \
-        [--batch-window-ms 5]
+        [--ckpt exp/as-02/models/best ...] [--label-csv ...] \
+        [--port 8000] [--batch-size 16] [--batch-window-ms 5]
+
+Repeating ``--ckpt`` serves a model ENSEMBLE: every member shares one
+on-device fbank per micro-batch and the E forwards run back-to-back in
+the same compiled program; the response is the mean of the members'
+probabilities — the reference's headline 0.474-mAP protocol
+(src/ensemble/ensemble.py:52-68), served live.
 
 API:
   * ``GET  /healthz``  -> {"status": "ok", model info}
@@ -42,7 +48,11 @@ import time
 
 import numpy as np
 
-__all__ = ["InferenceEngine", "make_server", "main"]
+__all__ = ["InferenceEngine", "make_server", "main", "MAX_BODY_BYTES"]
+
+# largest accepted /predict body: comfortably holds an hour of PCM16 WAV
+# (or ~20 min of float JSON) while bounding per-request allocation
+MAX_BODY_BYTES = 128 << 20
 
 
 class _Request:
@@ -67,7 +77,12 @@ class InferenceEngine:
         from psla_tpu.inference import _chunk_logmel
 
         self.model = model
-        self.variables = variables
+        # a list/tuple of variable trees serves an ensemble (mean of the
+        # members' probabilities, ensemble.py:52-68); a single tree is a
+        # 1-member ensemble
+        if not isinstance(variables, (list, tuple)):
+            variables = [variables]
+        self.members = tuple(variables)
         self.config = config
         self.names = names
         self.batch_size = int(batch_size)
@@ -82,12 +97,21 @@ class InferenceEngine:
             "requests": 0, "batches": 0, "batched_rows": 0, "long_clips": 0,
         }
 
-        def batch_probs(variables, wav, wav_mean, lengths):
+        def batch_probs(members, wav, wav_mean, lengths):
+            # the fbank runs ONCE per micro-batch; the E member forwards
+            # unroll back-to-back in the same program (the stacked serving
+            # pattern of tools/ensemble.py — NOT vmapped, see
+            # parallel/ensemble.py for the MXU + GSPMD rationale)
             logmel = _chunk_logmel.__wrapped__(wav, wav_mean, lengths, config)
             # f32 on the wire regardless of the model's compute dtype
-            return model.apply(variables, logmel, train=False).astype(
-                jnp.float32
-            )
+            outs = [
+                model.apply(v, logmel, train=False).astype(jnp.float32)
+                for v in members
+            ]
+            acc = outs[0]
+            for o in outs[1:]:
+                acc = acc + o
+            return acc / len(outs)
 
         if num_devices and num_devices > 1:
             # multi-chip serving: the micro-batch is sharded over a 1-D
@@ -107,7 +131,7 @@ class InferenceEngine:
             self.mesh = make_mesh(num_devices)
             data_sh = batch_sharding(self.mesh)
             repl = replicated_sharding(self.mesh)
-            self.variables = jax.device_put(variables, repl)
+            self.members = jax.device_put(self.members, repl)
             from psla_tpu.train.step import with_mesh_context
 
             # set_mesh at trace time so the pallas fbank's shard_map wrap
@@ -127,7 +151,7 @@ class InferenceEngine:
         # compile once at startup so the first request pays no compile
         z = jnp.zeros((self.batch_size, self.chunk_samples), jnp.float32)
         self._batch_probs(
-            variables, z, jnp.zeros((self.batch_size,), jnp.float32),
+            self.members, z, jnp.zeros((self.batch_size,), jnp.float32),
             jnp.full((self.batch_size,), self.chunk_samples, jnp.int32),
         ).block_until_ready()
         self._thread = threading.Thread(target=self._batch_loop, daemon=True)
@@ -151,12 +175,17 @@ class InferenceEngine:
         if wav.size > self.chunk_samples:
             # long clip: exact chunked aggregation, outside the hot batch
             # (predict_long's jitted applies are lru-cached per model, so
-            # only the FIRST long clip pays a compile)
+            # only the FIRST long clip pays a compile); ensemble members
+            # average exactly as in the batched path
             from psla_tpu.inference import predict_long
 
             self._count("long_clips")
-            return np.asarray(
-                predict_long(self.model, self.variables, wav, self.config)
+            return np.mean(
+                [
+                    np.asarray(predict_long(self.model, v, wav, self.config))
+                    for v in self.members
+                ],
+                axis=0,
             )
         if self._stop.is_set():
             raise RuntimeError("server shutting down")
@@ -239,7 +268,7 @@ class InferenceEngine:
                     lengths[i] = max(int(r.wav.size), 1)
                 probs = np.asarray(
                     self._batch_probs(
-                        self.variables, jnp.asarray(wav),
+                        self.members, jnp.asarray(wav),
                         jnp.asarray(mean), jnp.asarray(lengths),
                     )
                 )
@@ -277,6 +306,7 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
                 self._json(200, {
                     "status": "ok",
                     "n_class": len(engine.names),
+                    "n_members": len(engine.members),
                     "batch_size": engine.batch_size,
                     "target_length": engine.config.target_length,
                 })
@@ -291,12 +321,21 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
                 self._json(404, {"error": f"unknown path {path}"})
                 return
             n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                # refuse BEFORE reading: an oversized upload must not buy
+                # an unbounded allocation
+                self._json(413, {
+                    "error": f"body of {n} bytes exceeds the "
+                             f"{MAX_BODY_BYTES}-byte limit"
+                })
+                return
             body = self.rfile.read(n)
+            # phase 1 — parse the request: any failure is the CLIENT's (400)
             try:
                 top_k = 10  # parse inside the try: bad values -> JSON 400
                 for part in query.split("&"):
                     if part.startswith("top_k="):
-                        top_k = int(part.split("=", 1)[1])
+                        top_k = max(0, int(part.split("=", 1)[1]))
                 ctype = self.headers.get("Content-Type", "")
                 if "json" in ctype:
                     payload = json.loads(body)
@@ -306,6 +345,14 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
                     from psla_tpu.data.wav import decode_wav
 
                     wav, sr = decode_wav(body)
+                if sr <= 0:
+                    raise ValueError(f"sample_rate must be positive, got {sr}")
+            except Exception as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            # phase 2 — run the model: failures here are the SERVER's
+            # (503 while shutting down, 500 for anything else)
+            try:
                 t0 = time.monotonic()
                 probs = engine.predict(wav, sr)
                 self._json(200, {
@@ -313,16 +360,20 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
                     "duration_s": round(wav.size / sr, 3),
                     "latency_ms": round((time.monotonic() - t0) * 1e3, 2),
                 })
+            except RuntimeError as e:  # engine shutdown path
+                self._json(503, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:
-                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--ckpt", required=True,
-                   help="orbax checkpoint dir or reference .pth file")
+    p.add_argument("--ckpt", required=True, action="append",
+                   help="orbax checkpoint dir or reference .pth file; "
+                        "repeat to serve the mean of an ensemble "
+                        "(reference ensemble.py:52-68)")
     p.add_argument("--label-csv", default=None,
                    help="default: bundled vocabulary for --dataset")
     p.add_argument("--dataset", default="audioset",
@@ -371,7 +422,8 @@ def engine_from_args(args) -> InferenceEngine:
         head_num=args.att_head,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
-    variables = load_variables(args.ckpt, args.model, len(names))
+    ckpts = args.ckpt if isinstance(args.ckpt, list) else [args.ckpt]
+    variables = [load_variables(c, args.model, len(names)) for c in ckpts]
     config = PreprocessConfig(
         fbank=FbankConfig(sample_frequency=float(args.sample_rate)),
         target_length=args.target_length,

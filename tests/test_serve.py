@@ -239,6 +239,132 @@ def test_mesh_engine_rejects_indivisible_batch():
         InferenceEngine(model, {}, config, {}, batch_size=6, num_devices=4)
 
 
+def test_ensemble_serving_is_mean_of_members(served):
+    """Repeated --ckpt: served probabilities equal the MEAN of the
+    members' individual forwards (reference ensemble.py:52-68), for both
+    the batched path and the long-clip chunked path."""
+    _, _, model, variables, config = served
+    example = np.zeros((1, TARGET_LENGTH, 128), np.float32)
+    member2 = model.init(jax.random.PRNGKey(42), example, train=False)
+    names = {i: f"class_{i}" for i in range(N_CLASS)}
+    eng = InferenceEngine(
+        model, [variables, member2], config, names,
+        batch_size=2, batch_window_ms=1.0,
+    )
+    server = make_server(eng, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        assert _get(base + "/healthz")["n_members"] == 2
+
+        n = config.fbank.buffer_length(TARGET_LENGTH) // 2
+        wav = (0.1 * np.random.RandomState(11).randn(n)).astype(np.float32)
+        resp = _post(
+            base + "/predict?top_k=4",
+            json.dumps({"wav": wav.tolist(), "sample_rate": SR}).encode(),
+            "application/json",
+        )
+        got = {e["index"]: e["prob"] for e in resp["top_k"]}
+
+        from psla_tpu.inference import _chunk_logmel
+        import jax.numpy as jnp
+
+        buf = np.zeros(config.fbank.buffer_length(TARGET_LENGTH), np.float32)
+        buf[:n] = wav
+        logmel = _chunk_logmel(
+            jnp.asarray(buf[None]), jnp.asarray([wav.mean()]),
+            jnp.asarray([n], jnp.int32), config,
+        )
+        ref = np.mean(
+            [
+                np.asarray(model.apply(v, logmel, train=False))[0]
+                for v in (variables, member2)
+            ],
+            axis=0,
+        )
+        for i in range(N_CLASS):
+            assert abs(got[i] - float(ref[i])) < 1e-4, (i, got[i], ref[i])
+
+        # long clip: per-member chunked aggregation, then the same mean
+        from psla_tpu.inference import predict_long
+
+        long_wav = (
+            0.1 * np.random.RandomState(12).randn(
+                config.fbank.buffer_length(TARGET_LENGTH) * 2 + 77
+            )
+        ).astype(np.float32)
+        got_long = eng.predict(long_wav, SR)
+        ref_long = np.mean(
+            [
+                np.asarray(predict_long(model, v, long_wav, config))
+                for v in (variables, member2)
+            ],
+            axis=0,
+        )
+        np.testing.assert_allclose(got_long, ref_long, atol=1e-5)
+    finally:
+        server.shutdown()
+        eng.close()
+
+
+def test_oversized_body_is_413(served, monkeypatch):
+    import psla_tpu.tools.serve as serve_mod
+
+    base, *_ = served
+    monkeypatch.setattr(serve_mod, "MAX_BODY_BYTES", 1024)
+    req = urllib.request.Request(
+        base + "/predict", data=b"x" * 2048,
+        headers={"Content-Type": "audio/wav"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
+    assert _get(base + "/healthz")["status"] == "ok"
+
+
+def test_negative_top_k_clamps_to_empty(served):
+    base, *_, config = served
+    n = config.fbank.buffer_length(TARGET_LENGTH) // 4
+    wav = (0.1 * np.random.RandomState(13).randn(n)).astype(np.float32)
+    resp = _post(
+        base + "/predict?top_k=-5",
+        json.dumps({"wav": wav.tolist(), "sample_rate": SR}).encode(),
+        "application/json",
+    )
+    assert resp["top_k"] == []
+
+
+def test_shutdown_predict_is_503(served):
+    """Engine failures are the server's fault: a request hitting a
+    shutting-down engine gets 503, not 400."""
+    _, _, model, variables, config = served
+    names = {i: f"class_{i}" for i in range(N_CLASS)}
+    eng = InferenceEngine(
+        model, variables, config, names, batch_size=2, batch_window_ms=1.0
+    )
+    server = make_server(eng, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        eng.close()  # engine down, HTTP front still up
+        wav = np.zeros(100, np.float32)
+        req = urllib.request.Request(
+            base + "/predict",
+            data=json.dumps(
+                {"wav": wav.tolist(), "sample_rate": SR}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 503
+        assert "shutting down" in json.loads(e.value.read())["error"]
+    finally:
+        server.shutdown()
+
+
 def test_bad_request_is_400_and_server_survives(served):
     base, *_ = served
     req = urllib.request.Request(
