@@ -11,7 +11,12 @@ Baseline: the reference trains full AudioSet-2M (30 epochs x ~2M clips) in
 ~1 week on 4x GTX TITAN (README.md:165) => ~99.2 clips/s aggregate,
 ~24.8 clips/s per GPU. vs_baseline compares per-chip to per-GPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. With no
+flags the line is a COMPOSITE: the headline train metric plus a
+"secondary" list carrying the eval / fbank / ensemble / fsd50k / loader
+numbers (each with its own unit + vs_baseline), so one driver capture
+certifies the full perf story. Individual flags (--eval, --fbank,
+--ensemble, --fsd50k, --loader) still emit just that metric's line.
 """
 
 import json
@@ -209,18 +214,14 @@ def run_eval(batch_size: int = 128, steps: int = 40):
     dt = (t_long - t_short) / (steps - short)
     clips = batch_size / dt
     ref_eval_per_gpu = 3 * BASELINE_CLIPS_PER_SEC_PER_GPU
-    print(
-        json.dumps(
-            {
-                "metric": "eval_clips_per_sec_per_chip",
-                "value": round(clips, 0),
-                "unit": "clips/s (inference: on-device fbank + bf16 forward, "
-                "B=%d; baseline = est. reference eval 3x its train rate)"
-                % batch_size,
-                "vs_baseline": round(clips / ref_eval_per_gpu, 1),
-            }
-        )
-    )
+    return {
+        "metric": "eval_clips_per_sec_per_chip",
+        "value": round(clips, 0),
+        "unit": "clips/s (inference: on-device fbank + bf16 forward, "
+        "B=%d; baseline = est. reference eval 3x its train rate)"
+        % batch_size,
+        "vs_baseline": round(clips / ref_eval_per_gpu, 1),
+    }
 
 
 def run_ensemble(num_models: int = 4, batch_size: int = 128, steps: int = 20):
@@ -321,20 +322,15 @@ def run_ensemble(num_models: int = 4, batch_size: int = 128, steps: int = 20):
         dt = (t_long - t_short) / (steps - short)
         res[mode] = batch_size / dt  # ensemble-clips (all E members) per sec
     res["sequential"] = res["single"] / num_models  # E independent passes
-    print(
-        json.dumps(
-            {
-                "metric": "ensemble_clips_per_sec_per_chip",
-                "value": round(res["unrolled"], 0),
-                "unit": "ensemble-clips/s (E=%d, B=%d, one-program unrolled; "
-                "vmapped=%d, true-sequential=%d)" % (
-                    num_models, batch_size, round(res["vmapped"]),
-                    round(res["sequential"])),
-                "vs_baseline": round(res["unrolled"] / res["sequential"], 2),
-            }
-        )
-    )
-    return res
+    return {
+        "metric": "ensemble_clips_per_sec_per_chip",
+        "value": round(res["unrolled"], 0),
+        "unit": "ensemble-clips/s (E=%d, B=%d, one-program unrolled; "
+        "vmapped=%d, true-sequential=%d)" % (
+            num_models, batch_size, round(res["vmapped"]),
+            round(res["sequential"])),
+        "vs_baseline": round(res["unrolled"] / res["sequential"], 2),
+    }
 
 
 def run_fbank(batch_size: int = 128, steps: int = 60):
@@ -386,17 +382,13 @@ def run_fbank(batch_size: int = 128, steps: int = 60):
     dt = (t_long - t_short) / (steps - short)
     clips = batch_size / dt
     ref_cpu_loader = 3200.0
-    print(
-        json.dumps(
-            {
-                "metric": "fbank_clips_per_sec_per_chip",
-                "value": round(clips, 0),
-                "unit": "clips/s (fused Pallas kaldi fbank, 10.56s clips, B=%d)"
-                % batch_size,
-                "vs_baseline": round(clips / ref_cpu_loader, 1),
-            }
-        )
-    )
+    return {
+        "metric": "fbank_clips_per_sec_per_chip",
+        "value": round(clips, 0),
+        "unit": "clips/s (fused Pallas kaldi fbank, 10.56s clips, B=%d)"
+        % batch_size,
+        "vs_baseline": round(clips / ref_cpu_loader, 1),
+    }
 
 
 def run_loader(n_clips: int = 512, batch_size: int = 64):
@@ -455,17 +447,13 @@ def run_loader(n_clips: int = 512, batch_size: int = 64):
     # (decode + fbank + augment); ours is decode-only (fbank is on-TPU),
     # and the C++ pool scales with cores — compare per-core.
     ref_per_core = 100.0
-    print(
-        _json.dumps(
-            {
-                "metric": "host_loader_clips_per_sec_per_core",
-                "value": round(clips / cores, 0),
-                "unit": "clips/s/core (C++ batch decode incl. mixup partner, "
-                "%d-core host, native=%s)" % (cores, native.available()),
-                "vs_baseline": round(clips / cores / ref_per_core, 1),
-            }
-        )
-    )
+    return {
+        "metric": "host_loader_clips_per_sec_per_core",
+        "value": round(clips / cores, 0),
+        "unit": "clips/s/core (C++ batch decode incl. mixup partner, "
+        "%d-core host, native=%s)" % (cores, native.available()),
+        "vs_baseline": round(clips / cores / ref_per_core, 1),
+    }
 
 
 def run_fsd50k():
@@ -487,46 +475,67 @@ def run_fsd50k():
     for bs in (128, 96, 64, 32, 16):
         try:
             clips_per_sec, loss = run(bs, preset="fsd50k")
-            assert np.isfinite(loss)
-            break
         except Exception as e:
-            # print before falling back: a real regression (shape error,
-            # NaN) must not masquerade as a quieter smaller-batch result
+            # print before falling back: a compile/OOM failure may retry
+            # smaller, but nothing else should be swallowed
             print(f"bs={bs} failed ({type(e).__name__}: {e}); "
                   "retrying smaller", flush=True)
             if bs == 16:
                 raise
-    print(
-        json.dumps(
-            {
-                "metric": "fsd50k_train_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s (EffNet-B2+4head, T=3000, bs=%d, bf16, "
-                "incl. on-device fbank+augment)" % bs,
-                "vs_baseline": round(clips_per_sec / fsd_baseline_per_gpu, 2),
-            }
-        )
-    )
+            continue
+        break
+    # OUTSIDE the retry loop: a NaN loss is a regression, never a reason
+    # to quietly rerun at a smaller batch
+    assert np.isfinite(loss), f"non-finite loss {loss} at bs={bs}"
+    return {
+        "metric": "fsd50k_train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s (EffNet-B2+4head, T=3000, bs=%d, bf16, "
+        "incl. on-device fbank+augment)" % bs,
+        "vs_baseline": round(clips_per_sec / fsd_baseline_per_gpu, 2),
+    }
+
+
+def run_train_headline(act_compress: str = "none"):
+    """Headline metric: flagship AudioSet train-step throughput."""
+    for bs in (128, 64, 32):
+        try:
+            clips_per_sec, loss = run(bs, act_compress=act_compress)
+        except Exception as e:  # OOM/compile fallback to smaller batch
+            print(f"bs={bs} failed ({type(e).__name__}: {e}); "
+                  "retrying smaller", flush=True)
+            if bs == 32:
+                raise
+            continue
+        break
+    # OUTSIDE the retry loop: NaN is a regression, not an OOM (ADVICE r2)
+    assert np.isfinite(loss), f"non-finite loss {loss} at bs={bs}"
+    return {
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s (EffNet-B2+4head, T=1056, bs=%d, bf16, "
+        "incl. on-device fbank+augment)" % bs,
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
+    }
+
+
+SECONDARY_RUNNERS = (
+    ("eval", run_eval),
+    ("fbank", run_fbank),
+    ("ensemble", run_ensemble),
+    ("fsd50k", run_fsd50k),
+    ("loader", run_loader),
+)
 
 
 def main():
     import sys
+    import traceback
 
-    if "--eval" in sys.argv:
-        run_eval()
-        return
-    if "--ensemble" in sys.argv:
-        run_ensemble()
-        return
-    if "--fbank" in sys.argv:
-        run_fbank()
-        return
-    if "--loader" in sys.argv:
-        run_loader()
-        return
-    if "--fsd50k" in sys.argv:
-        run_fsd50k()
-        return
+    for flag, runner in SECONDARY_RUNNERS:
+        if f"--{flag}" in sys.argv:
+            print(json.dumps(runner()))
+            return
     act_compress = "none"
     for i, arg in enumerate(sys.argv):
         if arg == "--act-compress":
@@ -537,25 +546,22 @@ def main():
             act_compress = arg.split("=", 1)[1]
     if act_compress not in ("none", "q8save", "qdq"):
         raise SystemExit(f"unknown --act-compress mode {act_compress!r}")
-    for bs in (128, 64, 32):
+
+    headline = run_train_headline(act_compress=act_compress)
+    if "--train-only" in sys.argv or act_compress != "none":
+        print(json.dumps(headline))
+        return
+    # composite: certify the whole perf story in one driver-captured line.
+    # A secondary failure must not mask the headline — record it as an
+    # error entry instead of raising.
+    secondary = []
+    for name, runner in SECONDARY_RUNNERS:
         try:
-            clips_per_sec, loss = run(bs, act_compress=act_compress)
-            assert np.isfinite(loss)
-            break
-        except Exception as e:  # OOM fallback to smaller batch
-            if bs == 32:
-                raise
-            last = e
-    print(
-        json.dumps(
-            {
-                "metric": "train_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s (EffNet-B2+4head, T=1056, bf16, incl. on-device fbank+augment)",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
-            }
-        )
-    )
+            secondary.append(runner())
+        except Exception as e:
+            traceback.print_exc()
+            secondary.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
+    print(json.dumps({**headline, "secondary": secondary}))
 
 
 if __name__ == "__main__":

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained-ckpt", type=str, default=None)
     p.add_argument("--n_class", type=int, default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--bn-momentum", type=float, default=None,
+                   help="BatchNorm running-stat momentum, flax convention "
+                        "(default 0.99 == the reference's torch 0.01, "
+                        "Models.py:69-72). Lower it (e.g. 0.5) for short "
+                        "runs whose eval-mode forward must reflect the "
+                        "data before the default's ~1/(1-m) step warmup")
     # data / augmentation
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--dataset_mean", type=float, default=None)
@@ -128,7 +134,8 @@ _ARG_TO_FIELD = {
     "metrics": "metrics", "model": "model", "eff_b": "eff_b",
     "att_head": "att_head", "impretrain": "impretrain",
     "pretrained_ckpt": "pretrained_ckpt", "n_class": "n_class",
-    "dtype": "dtype", "dataset": "dataset", "dataset_mean": "dataset_mean",
+    "dtype": "dtype", "bn_momentum": "bn_momentum",
+    "dataset": "dataset", "dataset_mean": "dataset_mean",
     "dataset_std": "dataset_std", "target_length": "target_length",
     "freqm": "freqm", "timem": "timem", "mixup": "mixup", "noise": "noise",
     "skip_norm": "skip_norm",

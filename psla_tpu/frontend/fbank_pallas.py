@@ -254,7 +254,7 @@ def fbank_pallas(
     # a nested shard_map that makes those axes manual and shards the batch
     # dim, so each device runs the kernel on its own batch shard. fbank is
     # per-sample, so this is numerics-preserving by construction.
-    wrap = _wrap_decision(b, _ambient_auto_axes())
+    wrap = _wrap_decision(b, _ambient_auto_axes(), interpret)
     if wrap:
         mesh_ctx, auto = wrap
         from jax.sharding import PartitionSpec as P
@@ -273,7 +273,7 @@ def fbank_pallas(
     return out[:, :target_frames, : config.num_mel_bins]
 
 
-def _wrap_decision(b: int, auto_axes):
+def _wrap_decision(b: int, auto_axes, interpret: bool):
     """Whether (and over which mesh/axes) to shard_map-wrap the kernel.
 
     Must return the wrap even when the auto axes have ONE total shard:
@@ -287,12 +287,21 @@ def _wrap_decision(b: int, auto_axes):
         return None
     mesh_ctx, auto = auto_axes
     shards = int(np.prod([mesh_ctx.shape[a] for a in auto]))
-    # Indivisible batches fall through unwrapped: fine in interpret mode
-    # (CPU tests — interpreted pallas is ordinary XLA, GSPMD handles it),
-    # but on a real chip Mosaic will then refuse with its own clear
-    # error. Keep device batches divisible by the mesh (shard_batch
-    # enforces this for the data axis already).
-    return (mesh_ctx, auto) if b % shards == 0 else None
+    if b % shards != 0:
+        # Indivisible batches can only fall through unwrapped in interpret
+        # mode (CPU tests — interpreted pallas is ordinary XLA, GSPMD
+        # handles it). On a real chip Mosaic would refuse the unwrapped
+        # kernel with an opaque 'cannot be automatically partitioned'
+        # error far from the cause, so fail loudly here instead.
+        if not interpret:
+            raise ValueError(
+                f"fbank_pallas: batch {b} is not divisible by the mesh's "
+                f"{shards} auto-axis shard(s) ({auto}); pad the device "
+                "batch to a multiple of the data-axis size (shard_batch "
+                "does this for loader batches)"
+            )
+        return None
+    return (mesh_ctx, auto)
 
 
 def _ambient_auto_axes():

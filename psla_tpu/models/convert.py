@@ -15,6 +15,17 @@ src/traintest.py:44-45, 190) into this framework's
   * BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var.
 
 Works on plain dicts of numpy arrays too, so tests don't require torch.
+
+Validation caveat: the converter has been verified against (a) a faithful
+torch twin whose state_dict reproduces efficientnet_pytorch's key layout
+(tests/torch_twin.py — forward parity to ~1e-5 after conversion) and
+(b) synthetic state_dicts reconstructing that layout (tests/test_convert.py)
+— but NEVER against the actual published artifacts
+(`efficientnet-b2-8bb594d6.pth`, `as_mdl_*.pth`), which cannot be
+downloaded on the build machine (zero egress). A renamed or transposed
+quirk specific to the real releases would pass every local test; run
+tools/convert_ckpt.py's built-in forward check against a reference
+forward the first time a real artifact is available.
 """
 
 from __future__ import annotations

@@ -101,5 +101,20 @@ def allgather_host(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def broadcast_floats(values) -> np.ndarray:
+    """Replicate a small float vector from the primary host to all hosts.
+
+    COLLECTIVE in multiprocess runs: every host must call it with a
+    same-shaped array (non-primary inputs are ignored). Single-process:
+    identity. Used to keep rank-0-computed epoch stats (the CSV-backed
+    ensemble columns) identical in every host's result rows."""
+    values = np.asarray(values, np.float32)
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.broadcast_one_to_all(values))
+
+
 def is_primary() -> bool:
     return jax.process_index() == 0

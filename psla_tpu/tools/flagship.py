@@ -1,0 +1,241 @@
+"""Flagship-scale hardware rehearsal: the REAL product at the REAL shape.
+
+`psla-smoke` proves the cli.run -> loaders -> Trainer -> protocol path at
+toy shape; this drives the same surface at the configuration every
+published AudioSet run uses (reference: egs/audioset/run.sh:22-29 +
+src/run.py:131 + src/traintest.py:73-212): EffNet-B2, T=1056, bs=128,
+mixup 0.5, 48/192 SpecAugment masks, balanced sampler, weight averaging —
+on whatever backend jax resolves (the point is the axon TPU), through the
+actual `python -m psla_tpu.cli` subprocess, including a SIGKILL mid-epoch
+and a `--resume` relaunch riding the persistent compilation cache.
+
+Stages:
+  1. synthesize a flagship-shape corpus on disk (10.56 s / 16 kHz WAVs,
+     labels drawn from the bundled 527-class AudioSet vocabulary);
+  2. launch the CLI; kill -9 at the first epoch-2 print step;
+  3. relaunch with --resume; assert it completes all epochs;
+  4. parse the per-sample data/DNN meters + result.csv and emit ONE JSON
+     summary reconciling the loader-fed sustained rate with bench.py's
+     isolated step rate (the two differ by host-loop, checkpoint, and —
+     on the tunneled backend — HTTP sync costs).
+
+Usage: python -m psla_tpu.tools.flagship [--clips 1024] [--epochs 3]
+       [--out DIR] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+from psla_tpu import assets
+from psla_tpu.data.datafiles import load_label_csv
+from psla_tpu.data.wav import write_wav
+from psla_tpu.frontend.fbank import FbankConfig
+
+TARGET_LENGTH = 1056  # frames: every published AudioSet run (run.sh:29)
+
+
+def make_corpus(d: str, n_train: int, n_val: int, seed: int = 0,
+                target_length: int = TARGET_LENGTH) -> dict:
+    """Synthetic flagship-shape corpus: tone+noise WAVs labeled from the
+    real 527-class vocabulary (1-3 mids per clip, like AudioSet)."""
+    rng = np.random.default_rng(seed)
+    vocab = [row["mid"] for row in load_label_csv(assets.audioset_label_csv())]
+    n_samples = FbankConfig().buffer_length(target_length)
+    t = np.arange(n_samples, dtype=np.float32) / 16000.0
+
+    def synth(i):
+        f0 = float(rng.uniform(80.0, 4000.0))
+        wav = 0.25 * np.sin(2 * np.pi * f0 * t)
+        wav += 0.1 * np.sin(2 * np.pi * 2.01 * f0 * t)
+        wav += 0.03 * rng.standard_normal(n_samples).astype(np.float32)
+        return wav.astype(np.float32)
+
+    files = {}
+    for split, n in (("train", n_train), ("val", n_val)):
+        entries = []
+        sd = os.path.join(d, split)
+        os.makedirs(sd, exist_ok=True)
+        for i in range(n):
+            p = os.path.join(sd, f"{i}.wav")
+            write_wav(p, synth(i), 16000)
+            mids = rng.choice(vocab, size=int(rng.integers(1, 4)),
+                              replace=False)
+            entries.append({"wav": p, "labels": ",".join(mids)})
+        jf = os.path.join(d, f"{split}.json")
+        with open(jf, "w") as f:
+            json.dump({"data": entries}, f)
+        files[split] = jf
+    return files
+
+
+_METER_RE = re.compile(
+    r"Epoch: \[(\d+)\]\[(\d+)/(\d+)\]\s+per-sample total ([0-9.e-]+)\s+"
+    r"data ([0-9.e-]+)\s+dnn ([0-9.e-]+)"
+)
+
+
+def _launch(flags, log_path):
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    log = open(log_path, "ab")
+    return subprocess.Popen(
+        [sys.executable, "-m", "psla_tpu.cli", *flags],
+        stdout=log, stderr=subprocess.STDOUT, env=env,
+    ), log
+
+
+def run(
+    clips: int = 1024,
+    val_clips: int = 256,
+    epochs: int = 3,
+    batch_size: int = 128,
+    out: str | None = None,
+    kill_epoch: int = 2,
+    preflight: bool = False,
+) -> dict:
+    """`preflight=True` shrinks the MODEL shape (B0, T=64) so the tool's
+    own machinery — corpus/kill/resume/parse — can be validated on a CPU
+    backend in minutes; the flagship measurement itself must run with the
+    default shape on the TPU."""
+    target_length = 64 if preflight else TARGET_LENGTH
+    d = out or tempfile.mkdtemp(prefix="psla_flagship_")
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+    files = make_corpus(d, clips, val_clips, target_length=target_length)
+    corpus_s = time.time() - t0
+    exp_dir = os.path.join(d, "exp")
+    log_path = os.path.join(d, "run.log")
+    cache = os.path.join(d, "xla_cache")
+    flags = [
+        "--preset", "audioset_full",
+        "--data-train", files["train"], "--data-val", files["val"],
+        "--exp-dir", exp_dir,
+        "--batch-size", str(batch_size), "--n-epochs", str(epochs),
+        "--impretrain", "False",
+        "--wa", "True", "--wa_start", str(max(1, epochs - 1)),
+        "--wa_end", str(epochs),
+        "--n-print-steps", "2",
+        "--compilation-cache", cache,
+    ]
+    if preflight:
+        flags += ["--eff_b", "0", "--target_length", str(target_length),
+                  "--timem", "24", "--dtype", "bfloat16"]
+
+    # ---- leg 1: cold start, killed mid-epoch `kill_epoch`
+    t1 = time.time()
+    proc, log = _launch(flags, log_path)
+    killed = False
+    try:
+        while proc.poll() is None:
+            time.sleep(2.0)
+            with open(log_path) as f:
+                txt = f.read()
+            if re.search(rf"Epoch: \[{kill_epoch}\]\[", txt):
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                killed = True
+                break
+    finally:
+        log.close()
+    leg1_s = time.time() - t1
+    if not killed:
+        raise RuntimeError(
+            f"leg 1 exited rc={proc.returncode} before reaching epoch "
+            f"{kill_epoch}'s first print step — see {log_path}"
+        )
+
+    # ---- leg 2: resume; the compilation cache should eat the recompile
+    t2 = time.time()
+    proc, log = _launch([*flags, "--resume"], log_path)
+    rc = proc.wait()
+    log.close()
+    leg2_s = time.time() - t2
+    if rc != 0:
+        raise RuntimeError(f"resume leg failed rc={rc} — see {log_path}")
+
+    # ---- parse evidence
+    with open(log_path) as f:
+        txt = f.read()
+    meters = [
+        {"epoch": int(m[0]), "step": int(m[1]), "total": float(m[3]),
+         "data": float(m[4]), "dnn": float(m[5])}
+        for m in _METER_RE.findall(txt)
+    ]
+    # steady state: epochs past the first (which pays the compiles) and
+    # past the first print window of each epoch (loader warmup)
+    steady = [m for m in meters if m["epoch"] > 1 and m["step"] > 2]
+    if not steady:
+        steady = [m for m in meters if m["epoch"] > 1] or meters[-2:]
+    total = float(np.median([m["total"] for m in steady]))
+    data_t = float(np.median([m["data"] for m in steady]))
+    dnn_t = float(np.median([m["dnn"] for m in steady]))
+
+    result = np.atleast_2d(
+        np.loadtxt(os.path.join(exp_dir, "result.csv"), delimiter=",")
+    )
+    assert result.shape[0] == epochs, result.shape
+    assert np.isfinite(result[:, 5]).all(), "non-finite train loss"
+    wa_dir = os.path.join(exp_dir, "models", "wa")
+    import jax  # parent + child share the env, so this names the backend
+
+    summary = {
+        "backend": jax.default_backend(),
+        "shape": {"model": "efficientnet-b0" if preflight
+                  else "efficientnet-b2",
+                  "target_length": target_length,
+                  "batch_size": batch_size, "mixup": 0.5,
+                  "freqm": 48, "timem": 24 if preflight else 192,
+                  "bal": True,
+                  "n_class": 527, "clips": clips, "epochs": epochs},
+        "sustained_clips_per_sec": round(1.0 / total, 1),
+        "dnn_only_clips_per_sec": round(1.0 / dnn_t, 1),
+        "data_time_share": round(data_t / total, 3),
+        "per_sample_s": {"total": total, "data": data_t, "dnn": dnn_t},
+        "killed_mid_epoch": kill_epoch,
+        "resume_completed_epochs": int(result.shape[0]),
+        "wa_checkpoint": os.path.isdir(wa_dir),
+        "wall_s": {"corpus": round(corpus_s, 1), "leg1": round(leg1_s, 1),
+                   "leg2_resume": round(leg2_s, 1)},
+        "exp_dir": d,
+        "log": log_path,
+    }
+    return summary
+
+
+def main_cli(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--clips", type=int, default=1024)
+    p.add_argument("--val-clips", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--keep", action="store_true")
+    p.add_argument("--preflight", action="store_true",
+                   help="toy shape (B0/T=64) to validate the rehearsal "
+                        "machinery itself on CPU; NOT a measurement")
+    args = p.parse_args(argv)
+    res = run(clips=args.clips, val_clips=args.val_clips,
+              epochs=args.epochs, batch_size=args.batch_size, out=args.out,
+              preflight=args.preflight)
+    print(json.dumps(res))
+    if not args.keep:
+        shutil.rmtree(res["exp_dir"], ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main_cli())

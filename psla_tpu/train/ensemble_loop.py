@@ -91,9 +91,11 @@ class EnsembleTrainer(Trainer):
         config = self.config
         n_dev = config.num_devices or len(jax.devices())
         host_id, num_hosts = process_info()
-        e_shards, _, _ = ensemble_layout(
+        e_shards, row_host_id, row_num_hosts = ensemble_layout(
             self.num_seeds, n_dev, host_id, num_hosts
         )
+        if num_hosts > 1:
+            self._check_loader_shards(row_host_id, row_num_hosts)
         self.mesh = make_mesh(
             config.num_devices, ensemble=e_shards, ensemble_axis=True
         )
@@ -105,6 +107,31 @@ class EnsembleTrainer(Trainer):
             self.model, self.pre_config, config.loss, self.mesh,
             self.num_seeds,
         )
+
+    def _check_loader_shards(self, row_host_id: int, row_num_hosts: int):
+        """Multi-host guard: the ensemble mesh replicates the batch over
+        the 'ensemble' axis, so hosts at the same position WITHIN their
+        ensemble row must feed identical rows — each loader's data-stream
+        shard must be its within-row position (cli.make_loaders remaps
+        before building loaders). Hand-built loaders sharded by GLOBAL
+        host id would silently feed divergent data to replicated
+        positions; catch that here. Duck-typed: loaders without a
+        LoaderConfig-style .config (test doubles) are skipped."""
+        for name in ("train_loader", "val_loader", "eval_loader"):
+            loader = getattr(self, name, None)
+            lcfg = getattr(loader, "config", None)
+            got = (getattr(lcfg, "host_id", None),
+                   getattr(lcfg, "num_hosts", None))
+            if None in got:
+                continue
+            if got != (row_host_id, row_num_hosts):
+                raise ValueError(
+                    f"EnsembleTrainer: {name} is sharded as host "
+                    f"{got[0]}/{got[1]} but this host's position within "
+                    f"its ensemble row is {row_host_id}/{row_num_hosts}; "
+                    "build loaders with the ensemble_layout-remapped "
+                    "(host_id, num_hosts) (cli.make_loaders does this)"
+                )
 
     # ------------------------------------------------------------- state
 

@@ -40,6 +40,7 @@ from psla_tpu.metrics import calculate_stats, d_prime
 from psla_tpu.models import create_model
 from psla_tpu.parallel.distributed import (
     allgather_host,
+    broadcast_floats,
     is_primary,
     make_global_batch,
 )
@@ -412,6 +413,9 @@ class Trainer:
         print(f"Total parameter number is : {n_params / 1e6:.3f} million")
 
         result_rows = np.zeros((cfg.n_epochs, 10))
+        # exposed for inspection/tests: every host must end up with
+        # identical rows (ensemble columns are broadcast from rank 0)
+        self.result_rows = result_rows
         result_path = os.path.join(self.exp_dir, "result.csv")
         if resume and os.path.exists(result_path):
             prev = np.atleast_2d(np.loadtxt(result_path, delimiter=","))
@@ -483,8 +487,9 @@ class Trainer:
 
             # ---------------- validation + artifacts (traintest.py:136-200)
             stats, valid_loss = self.validate(state, self.val_loader, epoch)
-            # CSV-backed running ensemble exists only where the CSVs are
-            # written (rank 0); other hosts carry zeros in their result rows
+            # CSV-backed running ensemble is computed only where the CSVs
+            # are written (rank 0), then its scalars are broadcast so every
+            # host's result rows carry the same numbers
             ensemble_stats = self.validate_ensemble(epoch) if is_primary() else None
 
             mAP = float(np.mean([s["AP"] for s in stats]))
@@ -496,6 +501,10 @@ class Trainer:
                 ens_acc = ensemble_stats[0]["acc"]
             else:
                 ens_mAP = ens_mAUC = ens_acc = 0.0
+            # collective: all hosts participate (non-primary send zeros)
+            ens_mAP, ens_mAUC, ens_acc = (
+                float(v) for v in broadcast_floats([ens_mAP, ens_mAUC, ens_acc])
+            )
             mid_p = float(np.mean(
                 [s["precisions"][len(s["precisions"]) // 2] for s in stats]
             ))

@@ -206,6 +206,19 @@ def run_trainer_ensemble(outdir):
     checkpoint extraction, weight averaging, and the post-training
     protocol (all via cli.run, exactly as a pod launch would)."""
     from psla_tpu import cli
+    from psla_tpu.train import ensemble_loop
+
+    # capture the trainer cli.run builds so this host's in-memory result
+    # rows can be compared across processes (the ensemble columns are
+    # rank-0-computed and broadcast — loop.py:broadcast_floats)
+    captured = {}
+    orig_train = ensemble_loop.EnsembleTrainer.train
+
+    def train_capture(self, *a, **k):
+        captured["trainer"] = self
+        return orig_train(self, *a, **k)
+
+    ensemble_loop.EnsembleTrainer.train = train_capture
 
     datafile = os.environ["PSLA_TEST_DATAFILE"]
     label_csv = os.environ["PSLA_TEST_LABELCSV"]
@@ -229,6 +242,8 @@ def run_trainer_ensemble(outdir):
     return {
         "summary": {k: {m: float(v) for m, v in part.items()}
                     for k, part in summary.items()},
+        # this HOST's in-memory epoch rows (incl. broadcast ensemble cols)
+        "result_rows": np.asarray(captured["trainer"].result_rows).tolist(),
     }
 
 

@@ -172,6 +172,12 @@ def test_two_process_ensemble_trainer_end_to_end(tmp_path):
     assert r0 == r1
     for part in r0["summary"].values():
         assert np.isfinite(part["eval_mAP"])
+    # every host carries IDENTICAL result rows — in particular the
+    # rank-0-computed ensemble columns reached the non-primary host via
+    # the epoch-end broadcast (they'd be 0.0 there otherwise)
+    rows0 = np.asarray(r0["result_rows"])
+    np.testing.assert_array_equal(rows0, np.asarray(r1["result_rows"]))
+    assert rows0[0, 7] > 0.0  # ensemble main metric, epoch 1
     # rank-0 artifacts: stacked + per-seed checkpoints, seed_result.csv
     for tag in ("epoch_1", "best", "wa", "best_seed0", "best_seed1",
                 "wa_seed0", "wa_seed1"):

@@ -199,3 +199,33 @@ def test_per_seed_checkpoints_load_as_single_models(ens_run):
     assert np.ndim(k0) == 4
     k1 = t1["params"]["effnet"]["stem"]["conv"]["kernel"]
     assert np.abs(np.asarray(k0) - np.asarray(k1)).max() > 1e-6  # distinct seeds
+
+
+def test_loader_shard_guard_multihost():
+    """EnsembleTrainer rejects loaders sharded by GLOBAL host id when the
+    ensemble axis replicates data across rows: hosts at the same position
+    within their row must feed identical rows (ADVICE r2: hand-built
+    loaders on a pod previously fed divergent data silently)."""
+    from types import SimpleNamespace
+
+    from psla_tpu.train.ensemble_loop import EnsembleTrainer
+
+    def stub(host_id, num_hosts):
+        loader = SimpleNamespace(
+            config=SimpleNamespace(host_id=host_id, num_hosts=num_hosts)
+        )
+        return SimpleNamespace(
+            train_loader=loader, val_loader=loader, eval_loader=None
+        )
+
+    # matching within-row shard: OK
+    EnsembleTrainer._check_loader_shards(stub(0, 1), 0, 1)
+    EnsembleTrainer._check_loader_shards(stub(1, 2), 1, 2)
+    # global-host-id sharding where the row expects position 0/1: rejected
+    with pytest.raises(ValueError, match="ensemble row"):
+        EnsembleTrainer._check_loader_shards(stub(1, 2), 0, 1)
+    # duck typing: loaders without a LoaderConfig-style .config are skipped
+    bare = SimpleNamespace(
+        train_loader=object(), val_loader=object(), eval_loader=None
+    )
+    EnsembleTrainer._check_loader_shards(bare, 0, 1)

@@ -200,15 +200,20 @@ def test_wrap_decision_fires_even_at_one_shard():
     with jax.sharding.set_mesh(mesh1):
         axes = fp_mod._ambient_auto_axes()
         assert axes is not None
-        assert fp_mod._wrap_decision(8, axes) is not None
+        assert fp_mod._wrap_decision(8, axes, True) is not None
     # no mesh context -> no wrap
-    assert fp_mod._wrap_decision(8, fp_mod._ambient_auto_axes()) is None
-    # indivisible batch -> no wrap (OK in interpret mode; on a real chip
-    # Mosaic then refuses with its own error — keep batches divisible)
+    assert fp_mod._wrap_decision(8, fp_mod._ambient_auto_axes(), True) is None
+    # indivisible batch: no wrap in interpret mode (interpreted pallas is
+    # ordinary XLA); on a real chip (interpret=False) it must fail LOUDLY
+    # instead of falling through to an opaque Mosaic partitioning error
     mesh8 = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
     with jax.sharding.set_mesh(mesh8):
-        assert fp_mod._wrap_decision(7, fp_mod._ambient_auto_axes()) is None
-        assert fp_mod._wrap_decision(8, fp_mod._ambient_auto_axes()) is not None
+        axes8 = fp_mod._ambient_auto_axes()
+        assert fp_mod._wrap_decision(7, axes8, True) is None
+        assert fp_mod._wrap_decision(8, axes8, True) is not None
+        assert fp_mod._wrap_decision(8, axes8, False) is not None
+        with pytest.raises(ValueError, match="not divisible"):
+            fp_mod._wrap_decision(7, axes8, False)
 
 
 def test_sharded_contexts_bit_exact(wavs):
