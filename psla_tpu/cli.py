@@ -218,10 +218,33 @@ def make_loaders(cfg: ExperimentConfig):
     return train_loader, val_loader, eval_loader
 
 
+def _pin_platform_from_env():
+    """Re-assert the JAX_PLATFORMS env var into jax's config.
+
+    Normally a no-op (the config's default IS the env var), but a site
+    hook that pre-imports jax may have pinned another platform via
+    jax.config.update — which silently overrides the env of any
+    subprocess launch (`JAX_PLATFORMS=cpu python -m psla_tpu.cli ...`
+    would still grab the site's device backend). Env-var semantics win.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        have = jax.config.jax_platforms or ""
+        # only the PRIMARY platform matters: a site pin of "axon,cpu"
+        # honors JAX_PLATFORMS=axon (extra fallbacks are harmless)
+        if have.split(",")[0] != want.split(",")[0]:
+            jax.config.update("jax_platforms", want)
+
+
 def run(argv=None):
     """Library entry: parse, train, and return the post-training summary."""
     from psla_tpu.parallel.distributed import maybe_initialize
 
+    _pin_platform_from_env()
     maybe_initialize()  # no-op unless launched on a pod / with a coordinator
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)

@@ -106,6 +106,7 @@ def run(
     out: str | None = None,
     kill_epoch: int = 2,
     preflight: bool = False,
+    n_print_steps: int = 2,
 ) -> dict:
     """`preflight=True` shrinks the MODEL shape (B0, T=64) so the tool's
     own machinery — corpus/kill/resume/parse — can be validated on a CPU
@@ -128,7 +129,7 @@ def run(
         "--impretrain", "False",
         "--wa", "True", "--wa_start", str(max(1, epochs - 1)),
         "--wa_end", str(epochs),
-        "--n-print-steps", "2",
+        "--n-print-steps", str(n_print_steps),
         "--compilation-cache", cache,
     ]
     if preflight:
@@ -224,13 +225,17 @@ def main_cli(argv=None):
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--keep", action="store_true")
+    p.add_argument("--n-print-steps", type=int, default=2,
+                   help="meter print cadence; on a host-transfer-deferred "
+                        "backend each print pays one sync, so larger "
+                        "values amortize it out of the sustained rate")
     p.add_argument("--preflight", action="store_true",
                    help="toy shape (B0/T=64) to validate the rehearsal "
                         "machinery itself on CPU; NOT a measurement")
     args = p.parse_args(argv)
     res = run(clips=args.clips, val_clips=args.val_clips,
               epochs=args.epochs, batch_size=args.batch_size, out=args.out,
-              preflight=args.preflight)
+              preflight=args.preflight, n_print_steps=args.n_print_steps)
     print(json.dumps(res))
     if not args.keep:
         shutil.rmtree(res["exp_dir"], ignore_errors=True)
