@@ -121,6 +121,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compilation-cache", type=str, default=None,
                    help="persistent XLA compilation cache dir (restarts "
                         "and pod relaunches skip the train-step compile)")
+    p.add_argument("--wire", choices=["int16", "float32"], default=None,
+                   help="host->device waveform wire format: 'int16' (raw "
+                        "PCM wire, bit-exact for PCM16 sources, half the "
+                        "transfer bytes — the default) or 'float32'")
+    p.add_argument("--device-prefetch", type=int, default=None,
+                   help="stage this many batches' host->device transfer "
+                        "ahead of compute on a background thread "
+                        "(0 disables)")
     return p
 
 
@@ -148,6 +156,7 @@ _ARG_TO_FIELD = {
     "profile_steps": "profile_steps",
     "profile_start_step": "profile_start_step",
     "compilation_cache": "compilation_cache",
+    "wire": "wire", "device_prefetch": "device_prefetch",
 }
 
 
@@ -190,7 +199,7 @@ def make_loaders(cfg: ExperimentConfig):
         LoaderConfig(
             batch_size=cfg.batch_size, buffer_samples=buf,
             num_workers=cfg.num_workers, mixup=cfg.mixup > 0, seed=cfg.seed,
-            host_id=host_id, num_hosts=num_hosts,
+            host_id=host_id, num_hosts=num_hosts, wire=cfg.wire,
         ),
         weights=weights,
     )
@@ -199,7 +208,7 @@ def make_loaders(cfg: ExperimentConfig):
         LoaderConfig(
             batch_size=cfg.batch_size, buffer_samples=buf,
             num_workers=cfg.num_workers, drop_remainder=False,
-            host_id=host_id, num_hosts=num_hosts,
+            host_id=host_id, num_hosts=num_hosts, wire=cfg.wire,
         ),
         shuffle=False,
     )
@@ -211,7 +220,7 @@ def make_loaders(cfg: ExperimentConfig):
             LoaderConfig(
                 batch_size=cfg.batch_size * 2, buffer_samples=buf,
                 num_workers=cfg.num_workers, drop_remainder=False,
-                host_id=host_id, num_hosts=num_hosts,
+                host_id=host_id, num_hosts=num_hosts, wire=cfg.wire,
             ),
             shuffle=False,
         )
@@ -260,6 +269,10 @@ def run(argv=None):
             f"exp/Data-{cfg.dataset}_Model-{cfg.model}_LR-{cfg.lr}"
             f"_Epochs-{cfg.n_epochs}"
         )
+    import jax
+
+    print(f"jax backend: {jax.default_backend()} "
+          f"({len(jax.devices())} device(s))", flush=True)
     train_loader, val_loader, eval_loader = make_loaders(cfg)
     if cfg.ensemble_seeds > 1:
         from psla_tpu.train.ensemble_loop import EnsembleTrainer

@@ -109,6 +109,21 @@ class ExperimentConfig:
     # compile. Empty = disabled. Safe to share across runs — entries are
     # keyed on program+compiler fingerprints.
     compilation_cache: str = ""
+    # Host->device waveform wire format. 'int16' ships raw PCM samples and
+    # dequantizes on-device (train/step._wav_batch): bit-exact for PCM16
+    # sources — the AudioSet/FSD50K format — and halves the per-batch
+    # transfer (the flagship batch is 2 x bs x 169200 samples: 173 MB as
+    # f32, 86 MB as int16; at 1,092 clips/s/chip that is 1.48 GB/s of
+    # host->device ingest per chip as f32). Float/24/32-bit PCM sources
+    # quantize to int16 on the wire (-96 dBFS error, far below the
+    # training noise floor); pick 'float32' for bit-exact handling of
+    # non-PCM16 corpora.
+    wire: str = "int16"
+    # Device-side input prefetch depth: a background thread stages the
+    # next batches' host->device transfer while the current step computes
+    # (data/device_prefetch.py). 0 disables (transfer serializes with
+    # compute, the reference's DataLoader behavior).
+    device_prefetch: int = 2
 
     def preprocess_config(self) -> PreprocessConfig:
         return PreprocessConfig(

@@ -22,6 +22,7 @@
 // (see psla_tpu/data/native.py, which compiles and caches this on demand).
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -226,6 +227,91 @@ int decode_one(const char* path, float* out, int64_t buffer_samples,
   return kOk;
 }
 
+// int16-wire variant of decode_one: fills a raw PCM16 buffer (the
+// loader's ExperimentConfig.wire='int16' format, dequantized on-device).
+// PCM16 sources copy sample-for-sample with NO float conversion at all
+// (the wire is their native representation); other formats decode to
+// float and quantize with round-half-to-even (exactly numpy's rint in
+// data/loader.py quantize_pcm16). The mean is still accumulated from the
+// pre-quantization float samples over the FULL clip, matching the
+// float32 decode path bit-for-bit on PCM16 input.
+int decode_one_i16(const char* path, int16_t* out, int64_t buffer_samples,
+                   float* out_mean, int32_t* out_length, int32_t* out_rate) {
+  RawFile file;
+  if (!read_file(path, &file)) return kErrOpen;
+  ParsedWav pw;
+  int prc = parse_wav(file, &pw);
+  if (prc != kOk) return prc;
+  const uint8_t* raw = pw.raw;
+  const int stride = pw.stride;
+  const int64_t n_frames = pw.n_frames;
+  const int64_t n_keep = n_frames < buffer_samples ? n_frames : buffer_samples;
+
+  double sum = 0.0;
+  if (pw.format == 1 && pw.bits == 16 && stride == 2) {  // mono PCM16
+    const int16_t* s = reinterpret_cast<const int16_t*>(raw);
+    if (n_keep) std::memcpy(out, s, n_keep * sizeof(int16_t));
+    int64_t isum = 0;
+    for (int64_t i = 0; i < n_frames; ++i) isum += s[i];
+    sum = static_cast<double>(isum) / 32768.0;
+  } else {
+    // generic formats: reuse the float decoders sample-by-sample
+    auto emit = [&](int64_t i, float v) {
+      sum += v;
+      if (i < n_keep) {
+        float q = v * 32768.0f;
+        if (q > 32767.0f) q = 32767.0f;
+        if (q < -32768.0f) q = -32768.0f;
+        out[i] = static_cast<int16_t>(std::lrintf(q));  // nearest-even
+      }
+    };
+    if (pw.format == 1 && pw.bits == 16) {
+      stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+        emit(i, static_cast<float>(static_cast<int16_t>(rd_u16(p))) / 32768.0f);
+      });
+    } else if (pw.format == 3 && pw.bits == 32) {
+      stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+        float v;
+        std::memcpy(&v, p, 4);
+        emit(i, v);
+      });
+    } else if (pw.format == 3 && pw.bits == 64) {
+      stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+        double v;
+        std::memcpy(&v, p, 8);
+        emit(i, static_cast<float>(v));
+      });
+    } else if (pw.format == 1 && pw.bits == 8) {
+      stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+        emit(i, (static_cast<float>(p[0]) - 128.0f) / 128.0f);
+      });
+    } else if (pw.format == 1 && pw.bits == 24) {
+      stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+        int32_t v = static_cast<int32_t>(p[0]) |
+                    (static_cast<int32_t>(p[1]) << 8) |
+                    (static_cast<int32_t>(p[2]) << 16);
+        if (v >= (1 << 23)) v -= (1 << 24);
+        emit(i, static_cast<float>(v) / 8388608.0f);
+      });
+    } else if (pw.format == 1 && pw.bits == 32) {
+      stream_samples(raw, n_frames, stride, [&](int64_t i, const uint8_t* p) {
+        emit(i, static_cast<float>(static_cast<int32_t>(rd_u32(p))) /
+                    2147483648.0f);
+      });
+    } else {
+      return kErrBadFormat;
+    }
+  }
+
+  if (n_keep < buffer_samples)
+    std::memset(out + n_keep, 0, (buffer_samples - n_keep) * sizeof(int16_t));
+  if (out_mean)
+    *out_mean = n_frames ? static_cast<float>(sum / n_frames) : 0.0f;
+  if (out_length) *out_length = static_cast<int32_t>(n_keep);
+  if (out_rate) *out_rate = static_cast<int32_t>(pw.rate);
+  return kOk;
+}
+
 }  // namespace
 
 namespace pslanative {
@@ -303,6 +389,37 @@ int psla_decode_batch(const char** paths, int32_t n, int64_t buffer_samples,
       int rc = decode_one(paths[i], out + static_cast<int64_t>(i) * buffer_samples,
                           buffer_samples, means ? means + i : nullptr,
                           lengths ? lengths + i : nullptr, nullptr);
+      if (status) status[i] = rc;
+      if (rc != kOk) failures.fetch_add(1);
+    }
+  };
+  int workers = n_threads < n ? n_threads : n;
+  std::vector<std::thread> pool;
+  pool.reserve(workers > 1 ? workers - 1 : 0);
+  for (int t = 1; t < workers; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Batch decode onto the int16 wire (see decode_one_i16): raw PCM16 rows,
+// padding tails zero-filled, full-clip float means. Same contract as
+// psla_decode_batch otherwise.
+int psla_decode_batch_i16(const char** paths, int32_t n,
+                          int64_t buffer_samples, int16_t* out, float* means,
+                          int32_t* lengths, int32_t* status,
+                          int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int32_t> next{0};
+  std::atomic<int32_t> failures{0};
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = decode_one_i16(
+          paths[i], out + static_cast<int64_t>(i) * buffer_samples,
+          buffer_samples, means ? means + i : nullptr,
+          lengths ? lengths + i : nullptr, nullptr);
       if (status) status[i] = rc;
       if (rc != kOk) failures.fetch_add(1);
     }

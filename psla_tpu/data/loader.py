@@ -47,6 +47,23 @@ class LoaderConfig:
     host_id: int = 0
     num_hosts: int = 1
     prefetch: int = 2
+    # Waveform wire dtype shipped to the device: 'float32' (decoded
+    # samples as-is) or 'int16' (raw PCM wire, dequantized on-device by
+    # train/step._wav_batch at x * 2^-15 — bit-exact for PCM16 sources
+    # and half the host->device bytes; see ExperimentConfig.wire).
+    wire: str = "float32"
+
+
+def quantize_pcm16(wav: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1) samples -> int16 wire format.
+
+    Exact round trip for PCM16-sourced samples: decode yields i / 32768
+    (data/wav.py:72), so * 32768 recovers the integer i exactly and the
+    device-side x * 2^-15 dequantize reproduces the identical float32
+    bits. Other sources round to the nearest 1/32768 step."""
+    return np.clip(
+        np.rint(wav * 32768.0), -32768, 32767
+    ).astype(np.int16)
 
 
 def _decode(path: str, buffer_samples: int):
@@ -76,6 +93,11 @@ class AudioLoader:
     ):
         self.datafile = datafile
         self.config = config
+        if config.wire not in ("float32", "int16"):
+            raise ValueError(
+                f"unknown wire format {config.wire!r} "
+                "(expected 'float32' or 'int16')"
+            )
         self._labels = datafile.label_matrix()
         seed = config.seed * 1009 + config.host_id
         if weights is not None:
@@ -140,15 +162,21 @@ class AudioLoader:
         when available, numpy decode on the Python thread pool otherwise."""
         cfg = self.config
         if self._native:
+            # the C++ decoder emits the wire dtype directly: int16 rows
+            # for PCM16 sources are a straight copy (no float pass at all)
             return native.decode_batch(
-                paths, cfg.buffer_samples, n_threads=cfg.num_workers
+                paths, cfg.buffer_samples, n_threads=cfg.num_workers,
+                wire=cfg.wire,
             )
-        decoded = list(self._pool.map(lambda p: _decode(p, cfg.buffer_samples), paths))
-        return (
-            np.stack([d[0] for d in decoded]),
-            np.array([d[1] for d in decoded], np.float32),
-            np.array([d[2] for d in decoded], np.int32),
+        decoded = list(
+            self._pool.map(lambda p: _decode(p, cfg.buffer_samples), paths)
         )
+        wav = np.stack([d[0] for d in decoded])
+        mean = np.array([d[1] for d in decoded], np.float32)
+        length = np.array([d[2] for d in decoded], np.int32)
+        if cfg.wire == "int16":
+            wav = quantize_pcm16(wav)
+        return wav, mean, length
 
     def _build_batch(self, idxs: np.ndarray, n_valid: int) -> dict:
         cfg = self.config

@@ -102,6 +102,17 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.c_int32,
                 ]
+                lib.psla_decode_batch_i16.restype = ctypes.c_int
+                lib.psla_decode_batch_i16.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int32,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int16),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32,
+                ]
                 lib.psla_resample_batch.restype = ctypes.c_int
                 lib.psla_resample_batch.argtypes = [
                     ctypes.POINTER(ctypes.c_char_p),
@@ -128,9 +139,15 @@ def available() -> bool:
 
 
 def decode_batch(
-    paths: list[str], buffer_samples: int, n_threads: int = 8
+    paths: list[str], buffer_samples: int, n_threads: int = 8,
+    wire: str = "float32",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a batch of WAVs -> (wav [B, buffer], mean [B], length [B]).
+
+    ``wire='int16'`` fills raw PCM16 rows instead of float32 (the
+    device-wire format, data/loader.py quantize_pcm16 semantics): PCM16
+    sources are copied without any float conversion, so this path is
+    cheaper than the float32 decode, not just half the bytes.
 
     Raises RuntimeError naming the failing file(s) if any clip fails.
     """
@@ -139,16 +156,19 @@ def decode_batch(
         raise RuntimeError("native wav decoder unavailable")
     n = len(paths)
     # the C library zero-fills each row's padding tail itself
-    out = np.empty((n, buffer_samples), dtype=np.float32)
+    i16 = wire == "int16"
+    out = np.empty((n, buffer_samples), dtype=np.int16 if i16 else np.float32)
     means = np.zeros(n, dtype=np.float32)
     lengths = np.zeros(n, dtype=np.int32)
     status = np.zeros(n, dtype=np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    failures = lib.psla_decode_batch(
+    fn = lib.psla_decode_batch_i16 if i16 else lib.psla_decode_batch
+    ptr_t = ctypes.c_int16 if i16 else ctypes.c_float
+    failures = fn(
         arr,
         n,
         buffer_samples,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ptr_t)),
         means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

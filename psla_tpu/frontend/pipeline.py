@@ -66,7 +66,11 @@ def wav_buffer_length(config: PreprocessConfig) -> int:
 class WavBatch(NamedTuple):
     """Fixed-shape device batch produced by the host pipeline."""
 
-    wav: jax.Array  # [B, N] f32 zero-padded raw waveform buffers
+    # [B, N] f32 zero-padded raw waveform buffers. Loaders may ship these
+    # as int16 wire arrays (ExperimentConfig.wire); the jitted steps
+    # dequantize before constructing the WavBatch (train/step._wav_batch),
+    # so consumers here always see float32.
+    wav: jax.Array
     wav_mean: jax.Array  # [B] full-clip mean (host-computed over all samples)
     length: jax.Array  # [B] int32 true sample count, clipped to N
     labels: jax.Array  # [B, C] f32 multi-hot labels

@@ -191,10 +191,18 @@ def run(
     assert result.shape[0] == epochs, result.shape
     assert np.isfinite(result[:, 5]).all(), "non-finite train loss"
     wa_dir = os.path.join(exp_dir, "models", "wa")
-    import jax  # parent + child share the env, so this names the backend
+    # the CHILD's backend (cli.run prints it): the parent's jax may be
+    # site-pinned to another platform than the env the subprocess honored
+    mb = re.search(r"jax backend: (\w+)", txt)
+    if mb:
+        backend = mb.group(1)
+    else:  # older log without the line — fall back to the parent's jax
+        import jax
+
+        backend = jax.default_backend()
 
     summary = {
-        "backend": jax.default_backend(),
+        "backend": backend,
         "shape": {"model": "efficientnet-b0" if preflight
                   else "efficientnet-b2",
                   "target_length": target_length,

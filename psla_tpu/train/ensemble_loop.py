@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from psla_tpu.data.device_prefetch import prefetch_to_device
 from psla_tpu.metrics import calculate_stats
 from psla_tpu.parallel.distributed import (
     allgather_host,
@@ -275,8 +276,12 @@ class EnsembleTrainer(Trainer):
         kept on ``self.last_member_stats`` and written to seed_result.csv.
         """
         preds, targets, losses = [], [], []
-        for host_batch in loader:
-            batch = make_global_batch(host_batch, self.mesh)
+        batches = prefetch_to_device(
+            iter(loader),
+            lambda b: make_global_batch(b, self.mesh),
+            depth=getattr(self.config, "device_prefetch", 2),
+        )
+        for host_batch, batch in batches:
             out, per_sample = self.eval_step(
                 state.params, state.batch_stats, batch
             )

@@ -37,6 +37,7 @@ import orbax.checkpoint as ocp
 from psla_tpu.config import ExperimentConfig
 from psla_tpu.data.loader import AudioLoader
 from psla_tpu.metrics import calculate_stats, d_prime
+from psla_tpu.data.device_prefetch import prefetch_to_device
 from psla_tpu.models import create_model
 from psla_tpu.parallel.distributed import (
     allgather_host,
@@ -445,24 +446,42 @@ class Trainer:
             # print steps, matching the reference (traintest.py:129-131).
             gstep = progress["global_step"]
             epoch_losses = []
-            for i, host_batch in enumerate(self.train_loader):
+            # device placement runs `device_prefetch` batches ahead on a
+            # background thread: batch k+1's host->device transfer rides
+            # under batch k's compute, so the 'data' meter reads true
+            # input-pipeline starvation (queue wait), not transfer time
+            batches = prefetch_to_device(
+                iter(self.train_loader),
+                lambda b: make_global_batch(b, self.mesh),
+                depth=getattr(cfg, "device_prefetch", 2),
+            )
+            for i, (host_batch, batch) in enumerate(batches):
                 # all-padding batches (n_valid==0) are possible under
                 # sequential multi-host sharding; keep the step (collective
                 # lockstep) but don't divide the meters by zero
                 bs = max(int(host_batch["n_valid"]), 1)
-                batch = make_global_batch(host_batch, self.mesh)
                 data_t = time.time() - end_time
                 dnn_start = time.time()
                 self._profile_tick(gstep)
                 state, metrics = self.train_step(state, batch, rng)
                 epoch_losses.append(metrics["loss"])
                 gstep += 1
+                is_print = gstep % cfg.n_print_steps == 0 and gstep != 0
+                if is_print:
+                    # Sync BEFORE reading the clock: dispatch is async (on
+                    # the tunneled backend execution is deferred until a
+                    # host transfer), so this fetch flushes the whole print
+                    # window's device backlog. Taking it inside the timed
+                    # region charges that backlog to this step's dnn meter,
+                    # and the AverageMeter amortizes it over the window —
+                    # the meters then report true sustained device
+                    # throughput, not host dispatch speed.
+                    loss = float(metrics["loss"])
                 now = time.time()
                 meters["per_sample_data_time"].update(data_t / bs, bs)
                 meters["per_sample_dnn_time"].update((now - dnn_start) / bs, bs)
                 meters["per_sample_time"].update((now - end_time) / bs, bs)
-                if gstep % cfg.n_print_steps == 0 and gstep != 0:
-                    loss = float(metrics["loss"])  # syncs — print steps only
+                if is_print:
                     meters["loss"].update(loss, bs)
                     print(
                         f"Epoch: [{epoch}][{i}/{self.steps_per_epoch}]  "
@@ -583,8 +602,12 @@ class Trainer:
         Loss is the mean of per-sample losses (the reference averages
         per-batch means; identical for equal batch sizes)."""
         preds, targets, losses = [], [], []
-        for host_batch in loader:
-            batch = make_global_batch(host_batch, self.mesh)
+        batches = prefetch_to_device(
+            iter(loader),
+            lambda b: make_global_batch(b, self.mesh),
+            depth=getattr(self.config, "device_prefetch", 2),
+        )
+        for host_batch, batch in batches:
             out, per_sample = self.eval_step(state, batch)
             out, tgt, per_sample = self._eval_batch_rows(
                 host_batch, batch, out, per_sample

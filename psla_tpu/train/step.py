@@ -46,7 +46,18 @@ def tpu_compiler_options() -> dict | None:
 
 
 def _wav_batch(batch: dict) -> WavBatch:
-    return WavBatch(**{k: batch[k] for k in _BATCH_FIELDS})
+    """Loader batch dict -> WavBatch, dequantizing int16 wire waveforms.
+
+    Traced inside the jitted steps, so the x * 2^-15 dequantize fuses into
+    the fbank's first consumer: the int16 wire format (data/loader.py
+    quantize_pcm16) halves host->device bytes at zero extra HBM traffic,
+    and the dequantized values are the bit-exact float32 samples for
+    PCM16 sources (i * 2^-15 both ways)."""
+    b = {k: batch[k] for k in _BATCH_FIELDS}
+    for k in ("wav", "mix_wav"):
+        if b[k].dtype == jnp.int16:
+            b[k] = b[k].astype(jnp.float32) * jnp.float32(2.0 ** -15)
+    return WavBatch(**b)
 
 
 def with_mesh_context(fn, mesh):

@@ -172,3 +172,52 @@ def test_resample_dir_uses_native_with_fallback(tmp_path):
     for name, n_out in (("a.wav", 16000), ("b.wav", 16000)):
         got, rate = read_wav(str(dst / name))
         assert rate == 16000 and len(got) == n_out
+
+
+# ----------------------------------------------------------- int16 wire
+
+
+def test_batch_decode_i16_pcm16_is_raw_copy(tmp_path):
+    """PCM16 sources on the int16 wire: raw samples, padding zeros, and
+    the identical full-clip float mean as the float32 decode."""
+    rng = np.random.default_rng(5)
+    paths, raws = [], []
+    for i in range(4):
+        n = int(rng.integers(1000, 40_000))
+        w = (rng.standard_normal(n) * 0.3).clip(-1, 1)
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, w, 16000)
+        paths.append(p)
+        with open(p, "rb") as f:
+            data = f.read()
+        raws.append(np.frombuffer(data[44:], dtype="<i2"))
+
+    buf = 30_000
+    qi, mi, li = native.decode_batch(paths, buf, n_threads=2, wire="int16")
+    qf, mf, lf = native.decode_batch(paths, buf, n_threads=2)
+    assert qi.dtype == np.int16
+    np.testing.assert_array_equal(mi, mf)
+    np.testing.assert_array_equal(li, lf)
+    for i, raw in enumerate(raws):
+        n = min(raw.size, buf)
+        assert np.array_equal(qi[i][:n], raw[:n])
+        assert np.all(qi[i][n:] == 0)
+        # dequantize reproduces the float32 path bit-for-bit
+        assert np.array_equal(qi[i].astype(np.float32) / 32768.0, qf[i])
+
+
+@pytest.mark.parametrize("fmt", ["f32", "f64", "pcm24", "pcm8", "pcm32",
+                                 "stereo16"])
+def test_i16_wire_matches_python_quantize(tmp_path, fmt):
+    """Non-PCM16 formats quantize on the wire exactly like the numpy
+    fallback (round-half-to-even + clamp, data/loader.py quantize_pcm16)."""
+    from psla_tpu.data.loader import quantize_pcm16
+
+    rng = np.random.default_rng(hash(fmt) % 2**31 + 9)
+    w = (rng.standard_normal(5000) * 0.4).clip(-1, 1)
+    p = str(tmp_path / f"{fmt}_i16.wav")
+    _write_fmt(p, w, fmt)
+    out_f, means_f, _ = native.decode_batch([p], 6000)
+    out_i, means_i, _ = native.decode_batch([p], 6000, wire="int16")
+    np.testing.assert_array_equal(out_i[0], quantize_pcm16(out_f[0]))
+    np.testing.assert_array_equal(means_i, means_f)
