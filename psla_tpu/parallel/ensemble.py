@@ -106,7 +106,9 @@ def init_ensemble_state(model, tx, seeds, example, mesh) -> TrainState:
     keys = jax.vmap(lambda k, s: jax.random.fold_in(k, s))(
         keys, jax.numpy.asarray(seeds)
     )
-    state = jax.vmap(init_one)(keys)
+    # jit the vmapped init: eager dispatch of the stacked flax init is
+    # ~30 s on a 1-core CPU-mesh host; one compiled program is ~2 s
+    state = jax.jit(jax.vmap(init_one))(keys)
     return jax.device_put(state, NamedSharding(mesh, P("ensemble")))
 
 
