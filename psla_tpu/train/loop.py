@@ -446,6 +446,13 @@ class Trainer:
             # print steps, matching the reference (traintest.py:129-131).
             gstep = progress["global_step"]
             epoch_losses = []
+            # Device-side divergence flag: OR-accumulates isnan(loss) every
+            # step with zero host syncs (one tiny async op per step), then
+            # rides the print-step fetch. This gives the reference's exact
+            # loss_meter.avg-is-nan window semantics (traintest.py:125-131):
+            # a NaN at ANY step aborts at the end of its print window, even
+            # if the print step's own loss were finite.
+            diverged = jnp.zeros((), jnp.bool_)
             # device placement runs `device_prefetch` batches ahead on a
             # background thread: batch k+1's host->device transfer rides
             # under batch k's compute, so the 'data' meter reads true
@@ -465,6 +472,9 @@ class Trainer:
                 self._profile_tick(gstep)
                 state, metrics = self.train_step(state, batch, rng)
                 epoch_losses.append(metrics["loss"])
+                diverged = jnp.logical_or(
+                    diverged, jnp.any(jnp.isnan(metrics["loss"]))
+                )
                 gstep += 1
                 is_print = gstep % cfg.n_print_steps == 0 and gstep != 0
                 if is_print:
@@ -476,7 +486,11 @@ class Trainer:
                     # and the AverageMeter amortizes it over the window —
                     # the meters then report true sustained device
                     # throughput, not host dispatch speed.
-                    loss = float(metrics["loss"])
+                    loss, step_diverged = (
+                        float(v) for v in jax.device_get(
+                            (metrics["loss"], diverged)
+                        )
+                    )
                 now = time.time()
                 meters["per_sample_data_time"].update(data_t / bs, bs)
                 meters["per_sample_dnn_time"].update((now - dnn_start) / bs, bs)
@@ -491,17 +505,22 @@ class Trainer:
                         f"loss {loss:.4f}",
                         flush=True,
                     )
-                    if np.isnan(loss):
+                    if step_diverged:
                         print("training diverged...")
                         self._profile_flush()  # finalize any open trace
                         return state
                 end_time = time.time()
             self._profile_flush()
             if epoch_losses:  # one sync per epoch for the exact mean
+                fetched = np.asarray(jax.device_get(epoch_losses))
+                # epoch-end backstop: a NaN between the last print step and
+                # epoch end must still abort before validate/checkpointing
+                if np.isnan(fetched).any():
+                    print("training diverged...")
+                    return state
                 meters["loss"].reset()
                 meters["loss"].update(
-                    float(np.mean(np.asarray(jax.device_get(epoch_losses)))),
-                    len(epoch_losses),
+                    float(np.mean(fetched)), len(epoch_losses)
                 )
 
             # ---------------- validation + artifacts (traintest.py:136-200)

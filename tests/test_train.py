@@ -172,3 +172,54 @@ def test_resume_reproduces_uninterrupted_run(corpus, tmp_path_factory):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=0
         )
+
+
+def _poison_step(trainer, nan_at_call):
+    """Wrap trainer.train_step to NaN the loss METRIC of one step only.
+
+    Subsequent losses stay finite, so the abort can only come from the
+    device-side OR-accumulated divergence flag — the reference's
+    loss_meter.avg window semantics (traintest.py:125-131), not from NaN
+    stickiness through the params."""
+    import jax.numpy as jnp
+
+    orig = trainer.train_step
+    calls = {"n": 0}
+
+    def poisoned(state, batch, rng):
+        state, metrics = orig(state, batch, rng)
+        calls["n"] += 1
+        if calls["n"] == nan_at_call:
+            metrics = dict(metrics, loss=metrics["loss"] * jnp.nan)
+        return state, metrics
+
+    trainer.train_step = poisoned
+
+
+def test_nan_abort_within_print_window(corpus, tmp_path_factory, capsys):
+    """NaN at step 1 (not a print step) aborts at the NEXT print step
+    (gstep 2) with the exact reference message, even though step 2's own
+    loss is finite (traintest.py:129-131)."""
+    exp_dir = str(tmp_path_factory.mktemp("exp_nan_window"))
+    trainer = _make_trainer(corpus, exp_dir, n_print_steps=2)
+    _poison_step(trainer, nan_at_call=1)
+    state = trainer.train()
+    out = capsys.readouterr().out
+    assert "training diverged..." in out
+    # aborted at the print step that saw the flag: 2 steps ran, not the
+    # full 3-step epoch, and validation/artifacts never happened
+    assert int(state.step) == 2
+    assert not os.path.exists(os.path.join(exp_dir, "stats_1.pickle"))
+
+
+def test_nan_abort_epoch_end_backstop(corpus, tmp_path_factory, capsys):
+    """NaN on the epoch's LAST step with print steps that never fire:
+    the epoch-end loss fetch must still abort before validate/ckpt."""
+    exp_dir = str(tmp_path_factory.mktemp("exp_nan_backstop"))
+    trainer = _make_trainer(corpus, exp_dir, n_print_steps=1000)
+    _poison_step(trainer, nan_at_call=3)  # 24 clips / bs 8 = 3 steps/epoch
+    state = trainer.train()
+    out = capsys.readouterr().out
+    assert "training diverged..." in out
+    assert int(state.step) == 3  # full epoch ran, abort before validate
+    assert not os.path.exists(os.path.join(exp_dir, "stats_1.pickle"))
