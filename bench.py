@@ -26,6 +26,10 @@ import numpy as np
 
 BASELINE_CLIPS_PER_SEC_PER_GPU = 2_000_000 * 30 / (7 * 24 * 3600) / 4
 
+# v5e single-chip peaks for the roofline readout (bf16 MXU / HBM).
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
 
 def _make_batch(batch_size: int, pre, seed: int = 0, n_class: int = 527):
     rng = np.random.RandomState(seed)
@@ -45,8 +49,33 @@ def _make_batch(batch_size: int, pre, seed: int = 0, n_class: int = 527):
     }
 
 
+def _roofline(jitted_step, args, dt_per_step):
+    """%FLOP (MFU) and %HBM-BW utilization of one measured train step.
+
+    FLOPs and HBM bytes come from XLA's compiled-program cost analysis
+    (fusion-level operands+outputs, i.e. ~true HBM traffic), divided by
+    the scan-differenced step time and the v5e peaks. PERF.md's xprof
+    profile reads ~70% BW on the conv fusions; this whole-step average is
+    the driver-visible "is it actually fast" signal (VERDICT r3 #8).
+    Returns {} if the backend exposes no cost analysis."""
+    try:
+        ca = jitted_step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm = float(ca.get("bytes accessed", 0.0))
+        if flops <= 0 or hbm <= 0:
+            return {}
+        return {
+            "mfu_pct": round(100 * flops / dt_per_step / V5E_PEAK_BF16_FLOPS, 1),
+            "hbm_bw_util_pct": round(100 * hbm / dt_per_step / V5E_HBM_BYTES_PER_S, 1),
+        }
+    except Exception:
+        return {}
+
+
 def run(batch_size: int = 64, steps: int = 40, act_compress: str = "none",
-        preset: str | None = None):
+        preset: str | None = None, roofline: bool = False):
     """Times `steps` train steps executed ON DEVICE inside one lax.scan
     program (two alternating data batches; RNG folded per step). A single
     dispatch per measurement makes the number robust to host<->device
@@ -133,7 +162,12 @@ def run(batch_size: int = 64, steps: int = 40, act_compress: str = "none",
 
     dt_per_step = (t_long - t_short) / (steps - short)
     clips_per_sec = batch_size / dt_per_step
-    return clips_per_sec, loss_sum / steps
+    util = {}
+    if roofline:
+        one = jax.jit(step_fn, compiler_options=tpu_compiler_options())
+        batch = jax.tree.map(lambda x: x[0], stacked)
+        util = _roofline(one, (state, batch, rng), dt_per_step)
+    return clips_per_sec, loss_sum / steps, util
 
 
 def run_eval(batch_size: int = 128, steps: int = 40):
@@ -480,7 +514,7 @@ def run_fsd50k():
     fsd_baseline_per_gpu = 40 * 36796 / (15 * 3600) / 4
     for bs in (128, 96, 64, 32, 16):
         try:
-            clips_per_sec, loss = run(bs, preset="fsd50k")
+            clips_per_sec, loss, _ = run(bs, preset="fsd50k")
         except Exception as e:
             # print before falling back: a compile/OOM failure may retry
             # smaller, but nothing else should be swallowed
@@ -506,7 +540,9 @@ def run_train_headline(act_compress: str = "none"):
     """Headline metric: flagship AudioSet train-step throughput."""
     for bs in (128, 64, 32):
         try:
-            clips_per_sec, loss = run(bs, act_compress=act_compress)
+            clips_per_sec, loss, util = run(
+                bs, act_compress=act_compress, roofline=True
+            )
         except Exception as e:  # OOM/compile fallback to smaller batch
             print(f"bs={bs} failed ({type(e).__name__}: {e}); "
                   "retrying smaller", flush=True)
@@ -522,6 +558,9 @@ def run_train_headline(act_compress: str = "none"):
         "unit": "clips/s (EffNet-B2+4head, T=1056, bs=%d, bf16, "
         "incl. on-device fbank+augment)" % bs,
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
+        # whole-step roofline vs v5e peaks (XLA cost analysis / step time);
+        # {} when the backend exposes no cost analysis
+        **util,
     }
 
 
