@@ -27,19 +27,23 @@ import urllib.request
 ZOO = {
     "as_mdl_0": dict(
         url="https://www.dropbox.com/s/d1z27wj30ew5qrs/as_mdl_0.pth?dl=1",
-        n_class=527, note="AudioSet single model, eval mAP 0.440",
+        n_class=527, map=0.440, target_length=1056,
+        note="AudioSet single model, eval mAP 0.440",
     ),
     "as_mdl_0_wa": dict(
         url="https://www.dropbox.com/s/ieggie0ara4x26d/as_mdl_0_wa.pth?dl=1",
-        n_class=527, note="AudioSet weight-averaged, eval mAP 0.444",
+        n_class=527, map=0.444, target_length=1056,
+        note="AudioSet weight-averaged, eval mAP 0.444",
     ),
     "fsd_mdl_best_single": dict(
         url="https://www.dropbox.com/s/stzrmfty2oyqnnj/fsd_mdl_best_single.pth?dl=1",
-        n_class=200, note="FSD50K single model, eval mAP 0.559",
+        n_class=200, map=0.559, target_length=3000,
+        note="FSD50K single model, eval mAP 0.559",
     ),
     "fsd_mdl_wa": dict(
         url="https://www.dropbox.com/s/5fvybrbulvhsish/fsd_mdl_wa.pth?dl=1",
-        n_class=200, note="FSD50K weight-averaged, eval mAP 0.562",
+        n_class=200, map=0.562, target_length=3000,
+        note="FSD50K weight-averaged, eval mAP 0.562",
     ),
 }
 
