@@ -51,6 +51,11 @@ class ExperimentConfig:
     batch_size: int = 100
     n_epochs: int = 30
     warmup: bool = True
+    # staircase warmup geometry: the reference hardcodes 1000 steps updated
+    # every 50 (traintest.py:92-96); exposed so short runs (and the
+    # protocol-parity twin test) can exercise a real warmup trajectory
+    warmup_steps: int = 1000
+    warmup_update_every: int = 50
     lrscheduler_start: int = 10
     lrscheduler_decay: float = 0.5
     loss: str = "BCE"

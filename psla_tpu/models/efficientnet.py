@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from psla_tpu.models.layers import (
     ConvBN,
+    ReferenceBatchNorm,
     conv_kernel_init,
     drop_connect,
     round_filters,
@@ -149,7 +150,7 @@ class _S2DStemConvBN(nn.Module):
             padding=((0, 1), (0, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        out = nn.BatchNorm(
+        out = ReferenceBatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,

@@ -47,6 +47,112 @@ def drop_connect(
     return jnp.where(keep, x / keep_prob, 0.0)
 
 
+class ReferenceBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with torch's running-variance convention.
+
+    torch.nn.BatchNorm2d normalizes with the BIASED batch variance but
+    accumulates the UNBIASED one (x n/(n-1)) into ``running_var``; flax
+    accumulates the biased variance. The difference is invisible in train
+    mode but skews every eval-mode forward of a self-trained model away
+    from the reference — the protocol-twin test's valid-loss trajectories
+    diverged measurably through the late layers' small spatial extents
+    (n = batch x H x W as low as 64). The reference's models train under
+    torch semantics (src/models/Models.py via efficientnet_pytorch), so
+    the running-var update here applies the same n/(n-1) correction
+    (verified against torch in tests/test_models.py).
+
+    Normalization math, dtype handling, and state layout are flax's own —
+    only the ``ra_var`` update line differs.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        from flax.linen import module as _module
+        from flax.linen.normalization import (
+            _canonicalize_axes,
+            _compute_stats,
+            _normalize,
+        )
+
+        use_running_average = _module.merge_param(
+            "use_running_average",
+            self.use_running_average,
+            use_running_average,
+        )
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(
+            i for i in range(x.ndim) if i not in feature_axes
+        )
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stats_dtype = (
+            jnp.float32 if self.force_float32_reductions else self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, stats_dtype), feature_shape,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, stats_dtype), feature_shape,
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = _compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                # static under jit: the logical (global) element count per
+                # channel — sharded steps compute global-batch stats, so
+                # the matching correction uses the global n
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                bessel = n / (n - 1) if n > 1 else 1.0
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * bessel
+                )
+
+        return _normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 # (the pooling-head init from HigherModels.py:6-18 lives in
 # models/pooling.py as _psla_uniform, next to its only users)
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -123,7 +229,7 @@ class ConvBN(nn.Module):
         # this net at audio resolutions); flax always computes the batch
         # statistics themselves in float32, and params/running stats stay
         # float32 via param_dtype.
-        x = nn.BatchNorm(
+        x = ReferenceBatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,

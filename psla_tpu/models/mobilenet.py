@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from psla_tpu.models.layers import conv_kernel_init, dense_kernel_init
+from psla_tpu.models.layers import ReferenceBatchNorm, conv_kernel_init, dense_kernel_init
 
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
@@ -56,7 +56,7 @@ class _ConvBNReLU6(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = ReferenceBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,

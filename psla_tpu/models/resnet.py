@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from psla_tpu.models.layers import conv_kernel_init
+from psla_tpu.models.layers import ReferenceBatchNorm, conv_kernel_init
 from psla_tpu.models.pooling import AttentionPool
 
 BN_MOMENTUM = 0.9  # torch momentum 0.1
@@ -40,7 +40,7 @@ class _ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = ReferenceBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,

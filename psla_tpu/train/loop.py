@@ -98,6 +98,8 @@ class Trainer:
             lrscheduler_start=config.lrscheduler_start,
             lrscheduler_decay=config.lrscheduler_decay,
             warmup=config.warmup,
+            warmup_steps=config.warmup_steps,
+            warmup_update_every=config.warmup_update_every,
         )
         self.tx = make_optimizer(self.schedule, config.weight_decay)
         self._build_steps()

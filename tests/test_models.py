@@ -176,3 +176,48 @@ def test_remat_same_forward_and_grads():
         ),
         g0, g1,
     )
+
+
+def test_bn_running_var_matches_torch():
+    """ReferenceBatchNorm accumulates torch's UNBIASED batch variance into
+    the running stats (torch.nn.BatchNorm2d convention) while normalizing
+    with the biased one — flax's stock BatchNorm accumulates the biased
+    variance, which skews every eval-mode forward of a self-trained model
+    off the reference's trajectory (caught by the protocol-twin test)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from psla_tpu.models.layers import ReferenceBatchNorm
+
+    x = np.random.RandomState(0).randn(8, 4, 2, 16).astype(np.float32)
+
+    bt = torch.nn.BatchNorm2d(16, eps=1e-3, momentum=0.5)
+    bt.train()
+    want_out = bt(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            return ReferenceBatchNorm(
+                use_running_average=not train, momentum=0.5, epsilon=1e-3
+            )(x)
+
+    m = M()
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    out, mut = m.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    bs = mut["batch_stats"]["ReferenceBatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(bs["var"]), bt.running_var.detach().numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs["mean"]), bt.running_mean.detach().numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out),
+        want_out.detach().numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -134,12 +134,19 @@ class _MHeadAttention(nn.Module):
 class TwinEffNetAttention(nn.Module):
     """EffNetAttention twin (Models.py:63-113): fbank [B,T,F] -> probs."""
 
-    def __init__(self, label_dim: int, b: int = 0, head_num: int = 4):
+    def __init__(self, label_dim: int, b: int = 0, head_num: int = 4,
+                 bn_momentum: float | None = None):
         super().__init__()
         self.effnet = _EffNet(b)
         self.attention = _MHeadAttention(
             self.effnet.feature_dim, label_dim, head_num
         )
+        if bn_momentum is not None:
+            # torch momentum convention: new = (1-m)*old + m*batch, i.e.
+            # torch m == 1 - flax m (create_model's bn_momentum)
+            for mod in self.modules():
+                if isinstance(mod, nn.BatchNorm2d):
+                    mod.momentum = bn_momentum
 
     def forward(self, x):  # [B, T, F]
         x = x.unsqueeze(1).transpose(2, 3)  # [B, 1, F, T]
@@ -147,6 +154,100 @@ class TwinEffNetAttention(nn.Module):
         x = x.mean(dim=2, keepdim=True)     # freq average (AvgPool2d((4,1)))
         x = x.transpose(2, 3)               # [B, C, T/32, 1]
         return self.attention(x)
+
+
+def twin_protocol_run(
+    model,
+    epochs_train,       # list over epochs of [(fbank, soft_labels), ...]
+    val_batches,        # [(fbank, labels, n_valid), ...] fixed across epochs
+    lr_of_step,         # global step -> lr (the SAME schedule fn both sides)
+    wa_start: int,
+    wa_end: int,
+    calculate_stats,    # shared metrics fn (oracle-tested vs sklearn)
+):
+    """The reference's FULL training protocol on precomputed inputs:
+    per-step scheduled Adam(wd=5e-7, betas=(0.95,0.999)) + BCE on clamped
+    sigmoid (traintest.py:52, 92-109), per-epoch eval-mode validation with
+    prediction accumulation, running checkpoint-ensemble of predictions
+    (traintest.py:278-294), and 1/N weight averaging over epoch snapshots
+    (traintest.py:296-322, with the deliberate N+1 fix this framework
+    applies). Returns per-epoch rows {mAP, mAUC, train_loss, valid_loss,
+    ens_mAP, ens_mAUC} plus the WA model's {wa_mAP, wa_mAUC}.
+
+    The augmentation/mixup/schedule draws live in ``epochs_train`` /
+    ``lr_of_step`` — the caller replays the jax run's exact inputs, so any
+    trajectory disagreement is a training-engine divergence, not a data
+    difference."""
+    import copy
+
+    import numpy as np
+
+    opt = torch.optim.Adam(
+        model.parameters(), lr=0.0, weight_decay=5e-7, betas=(0.95, 0.999)
+    )
+
+    def validate(m):
+        m.eval()
+        preds, targets, losses = [], [], []
+        with torch.no_grad():
+            for fb, lab, n_valid in val_batches:
+                out = m(torch.from_numpy(fb)).clamp(1e-7, 1 - 1e-7)
+                lab_t = torch.from_numpy(lab)
+                per_sample = F.binary_cross_entropy(
+                    out, lab_t, reduction="none"
+                ).mean(dim=1)
+                preds.append(out.numpy()[:n_valid])
+                targets.append(lab[:n_valid])
+                losses.append(per_sample.numpy()[:n_valid])
+        pred = np.concatenate(preds)
+        target = np.concatenate(targets)
+        stats = calculate_stats(pred, target)
+        mAP = float(np.mean([s["AP"] for s in stats]))
+        mAUC = float(np.nanmean([s["auc"] for s in stats]))
+        return pred, target, mAP, mAUC, float(np.mean(np.concatenate(losses)))
+
+    crit = torch.nn.BCELoss()
+    rows = []
+    ens_sum = None
+    snapshots = {}
+    gstep = 0
+    for epoch, batches in enumerate(epochs_train, start=1):
+        model.train()
+        step_losses = []
+        for fb, lab in batches:
+            for g in opt.param_groups:
+                g["lr"] = float(lr_of_step(gstep))
+            out = model(torch.from_numpy(fb)).clamp(1e-7, 1 - 1e-7)
+            loss = crit(out, torch.from_numpy(lab))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            step_losses.append(float(loss.detach()))
+            gstep += 1
+        pred, target, mAP, mAUC, valid_loss = validate(model)
+        ens_sum = pred if ens_sum is None else ens_sum + pred
+        ens = ens_sum / epoch
+        ens_stats = calculate_stats(ens, target)
+        if wa_start <= epoch <= wa_end:
+            snapshots[epoch] = copy.deepcopy(model.state_dict())
+        rows.append({
+            "mAP": mAP, "mAUC": mAUC,
+            "train_loss": float(np.mean(step_losses)),
+            "valid_loss": valid_loss,
+            "ens_mAP": float(np.mean([s["AP"] for s in ens_stats])),
+            "ens_mAUC": float(np.nanmean([s["auc"] for s in ens_stats])),
+        })
+
+    # 1/N weight averaging over the snapshot window (params + BN running
+    # stats averaged; integer num_batches_tracked kept from the last epoch)
+    keys = sorted(snapshots)
+    avg = copy.deepcopy(snapshots[keys[-1]])
+    for k, v in avg.items():
+        if v.dtype.is_floating_point:
+            avg[k] = sum(snapshots[e][k] for e in keys) / len(keys)
+    model.load_state_dict(avg)
+    _, _, wa_mAP, wa_mAUC, _ = validate(model)
+    return rows, {"wa_mAP": wa_mAP, "wa_mAUC": wa_mAUC}
 
 
 def twin_train_steps(model, fbanks, labels, lr: float, n_steps: int):
