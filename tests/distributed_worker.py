@@ -247,6 +247,66 @@ def run_trainer_ensemble(outdir):
     }
 
 
+def run_trainer_plain(outdir):
+    """PLAIN data-parallel Trainer END-TO-END across processes via cli.run
+    — the pod story for the headline SINGLE-model run (SURVEY §5.8 /
+    BASELINE config #5), as opposed to run_trainer_ensemble's 2-D mesh.
+    Env: PSLA_TEST_EPOCHS, PSLA_TEST_RESUME=1 to continue a killed run
+    (the parent drives kill -> resume and compares against an
+    uninterrupted control)."""
+    from psla_tpu import cli
+    from psla_tpu.train import loop as train_loop
+
+    captured = {}
+    orig_train = train_loop.Trainer.train
+
+    def train_capture(self, *a, **k):
+        captured["trainer"] = self
+        return orig_train(self, *a, **k)
+
+    train_loop.Trainer.train = train_capture
+
+    epochs = os.environ["PSLA_TEST_EPOCHS"]
+    args = [
+        "--data-train", os.environ["PSLA_TEST_DATAFILE"],
+        "--data-val", os.environ["PSLA_TEST_DATAFILE"],
+        "--data-eval", os.environ["PSLA_TEST_DATAFILE"],
+        "--label-csv", os.environ["PSLA_TEST_LABELCSV"],
+        "--exp-dir", os.environ["PSLA_TEST_EXPDIR"],
+        "--n_class", "3", "--eff_b", "0", "--att_head", "1",
+        "--impretrain", "False",
+        "--target_length", "64",
+        # deterministic across launches (seeded per-step draws), with
+        # SpecAugment exercising the augmented path; mixup off so the
+        # killed/resumed/control legs are bit-comparable
+        "--freqm", "4", "--timem", "4", "--mixup", "0.0",
+        "--lr", "2e-3", "--batch-size", "4", "--n-epochs", epochs,
+        "--warmup", "False",
+        "--wa", os.environ.get("PSLA_TEST_WA", "False"),
+        "--wa_start", "1", "--wa_end", epochs,
+        "--bal", "False", "--num-workers", "1",
+    ]
+    if os.environ.get("PSLA_TEST_RESUME") == "1":
+        args.append("--resume")
+    summary = cli.run(args)
+    trainer = captured["trainer"]
+    state = trainer.restore_checkpoint(f"epoch_{epochs}")
+    import jax
+
+    param_l1 = float(
+        np.sum([
+            np.sum(np.abs(np.float64(np.asarray(p))))
+            for p in jax.tree.leaves(state.params)
+        ])
+    )
+    return {
+        "summary": {k: {m: float(v) for m, v in part.items()}
+                    for k, part in summary.items()},
+        "result_rows": np.asarray(trainer.result_rows).tolist(),
+        "param_l1": param_l1,
+    }
+
+
 def main():
     pid, nprocs, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
@@ -276,6 +336,8 @@ def main():
                    "prob_sums": prob_sums}
     elif mode == "trainer_ensemble":
         payload = run_trainer_ensemble(outdir)
+    elif mode == "trainer_plain":
+        payload = run_trainer_plain(outdir)
     else:
         per_host = GLOBAL_BATCH // nprocs
         losses, param_l1, gathered_sum = run(

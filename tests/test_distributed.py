@@ -195,3 +195,69 @@ def test_two_process_ensemble_trainer_end_to_end(tmp_path):
     k = np.asarray(tree["params"]["effnet"]["stem"]["conv"]["kernel"])
     assert k.ndim == 5 and k.shape[0] == 2  # [E, H, W, I, O]
     assert np.abs(k[0] - k[1]).max() > 1e-6  # distinct seeds, both real
+
+
+def test_two_process_plain_trainer_kill_resume(tmp_path):
+    """PLAIN data-parallel cli.run across 2 REAL processes — the pod
+    story for the headline SINGLE-model flagship run (SURVEY §5.8 /
+    BASELINE config #5), including kill + resume: a run stopped after
+    epoch 1 and resumed (both multi-process) must reproduce an
+    uninterrupted 2-epoch control exactly — result rows AND final
+    parameters — and both hosts must agree on everything."""
+    from tests.synth import build_corpus
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    datafile, label_csv = build_corpus(
+        str(corpus), num_classes=3, clips_per_class=4, seconds=0.5,
+        multi_label_frac=0.0,
+    )
+    base_env = {
+        "PSLA_TEST_DATAFILE": datafile,
+        "PSLA_TEST_LABELCSV": label_csv,
+        # one persistent XLA cache across all three legs: the kill and
+        # resume legs recompile nothing (same program, same shapes),
+        # which keeps this three-launch test inside the suite budget
+        "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "xla_cache"),
+    }
+
+    # uninterrupted 2-epoch control
+    exp_ctl = tmp_path / "exp_control"
+    c0, c1 = _launch_two_process(
+        tmp_path, "trainer_plain",
+        extra_env={**base_env, "PSLA_TEST_EXPDIR": str(exp_ctl),
+                   "PSLA_TEST_EPOCHS": "2", "PSLA_TEST_WA": "True"},
+    )
+    assert c0 == c1  # plain-DP path: both hosts see identical results
+    for part in c0["summary"].values():
+        assert np.isfinite(part["eval_mAP"])
+
+    # killed-after-epoch-1 leg, then 2-process resume to epoch 2
+    exp_kr = tmp_path / "exp_killresume"
+    k0, k1 = _launch_two_process(
+        tmp_path, "trainer_plain",
+        extra_env={**base_env, "PSLA_TEST_EXPDIR": str(exp_kr),
+                   "PSLA_TEST_EPOCHS": "1"},
+    )
+    assert k0 == k1
+    r0, r1 = _launch_two_process(
+        tmp_path, "trainer_plain",
+        extra_env={**base_env, "PSLA_TEST_EXPDIR": str(exp_kr),
+                   "PSLA_TEST_EPOCHS": "2", "PSLA_TEST_WA": "True",
+                   "PSLA_TEST_RESUME": "1"},
+    )
+    assert r0 == r1
+
+    # bit-exact resume ACROSS PROCESSES: the killed+resumed pod run
+    # reproduces the uninterrupted control's trajectory and final params
+    np.testing.assert_array_equal(
+        np.asarray(r0["result_rows"]), np.asarray(c0["result_rows"])
+    )
+    assert r0["param_l1"] == c0["param_l1"]
+    assert r0["summary"] == c0["summary"]
+
+    # the artifact layout of the headline run is complete on rank 0
+    rows = np.loadtxt(exp_kr / "result.csv", delimiter=",")
+    assert rows.shape == (2, 10)
+    for tag in ("epoch_1", "epoch_2", "best", "wa"):
+        assert (exp_kr / "models" / tag).is_dir(), tag
