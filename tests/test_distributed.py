@@ -15,6 +15,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -104,6 +105,7 @@ def _launch_two_process(tmp_path, mode="plain", extra_env=None):
     )
 
 
+@pytest.mark.slow
 def test_two_process_train_step_matches_single_process(tmp_path):
     """2 real processes vs a single-process run on the same 8-row global
     batch."""
@@ -123,6 +125,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(r0["gathered_sum"], gathered_sum, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_two_process_ensemble_matches_single_process(tmp_path):
     """A 2-seed ensemble with the 'ensemble' mesh axis spanning 2 REAL
     processes (one seed row per host, shared data stream) must train each
@@ -144,6 +147,7 @@ def test_two_process_ensemble_matches_single_process(tmp_path):
     np.testing.assert_allclose(r0["prob_sums"], prob_sums, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_two_process_ensemble_trainer_end_to_end(tmp_path):
     """EnsembleTrainer (via cli.run) across 2 REAL processes with the
     'ensemble' axis spanning them — the advertised pod deployment. Covers
@@ -197,6 +201,7 @@ def test_two_process_ensemble_trainer_end_to_end(tmp_path):
     assert np.abs(k[0] - k[1]).max() > 1e-6  # distinct seeds, both real
 
 
+@pytest.mark.slow
 def test_two_process_plain_trainer_kill_resume(tmp_path):
     """PLAIN data-parallel cli.run across 2 REAL processes — the pod
     story for the headline SINGLE-model flagship run (SURVEY §5.8 /

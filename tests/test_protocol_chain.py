@@ -16,8 +16,10 @@ All stages are driven through their CLI surfaces via smoke.run_protocol.
 import shutil
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_full_protocol_chain(tmp_path):
     from psla_tpu.tools import smoke
 

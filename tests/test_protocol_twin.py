@@ -31,6 +31,10 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+# one module-scoped fixture trains BOTH frameworks through their full
+# protocols (~minutes on CPU): every test here is end-to-end slow
+pytestmark = pytest.mark.slow
+
 from psla_tpu.config import ExperimentConfig  # noqa: E402
 from psla_tpu.data import AudioLoader, LoaderConfig, load_datafile  # noqa: E402
 from psla_tpu.metrics import calculate_stats  # noqa: E402
