@@ -81,3 +81,23 @@ def test_dryrun_multichip_warm_budget():
         f"warm dual-layout dryrun took {wall:.1f}s (budget {WARM_BUDGET_S}s) "
         "- the driver's MULTICHIP signal is at risk (VERDICT r3 #1)"
     )
+
+    # COMMITTED-cache freshness: any change to model/step code alters the
+    # compiled programs' cache keys, so the blobs committed in
+    # .cache/xla_dryrun silently stop matching and the driver pays cold
+    # compiles again (this bit round 4: the BatchNorm running-var fix
+    # invalidated both step programs). The prime run above regenerates
+    # missing entries on disk; if it produced anything git doesn't know
+    # about, the committed cache is stale.
+    status = subprocess.run(
+        ["git", "status", "--porcelain", "--", ".cache/xla_dryrun"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if status.returncode == 0:  # skip the check outside a git checkout
+        assert status.stdout.strip() == "", (
+            "committed dryrun cache is stale/incomplete - compiled-program "
+            "keys changed (model or train-step code edit?). Re-run "
+            "__graft_entry__.dryrun_multichip(8) on CPU, then "
+            "`git add .cache/xla_dryrun` and commit, pruning blobs no "
+            f"run references:\n{status.stdout}"
+        )
