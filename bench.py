@@ -21,6 +21,7 @@ certifies the full perf story. Individual flags (--eval, --fbank,
 
 import json
 import time
+import traceback
 
 import numpy as np
 
@@ -71,6 +72,10 @@ def _roofline(jitted_step, args, dt_per_step):
             "hbm_bw_util_pct": round(100 * hbm / dt_per_step / V5E_HBM_BYTES_PER_S, 1),
         }
     except Exception:
+        # surface the reason on stderr so a regression in the readout
+        # (API drift, renamed cost-analysis keys) is distinguishable from
+        # "backend exposes no cost analysis" — the JSON stays headline-only
+        traceback.print_exc()
         return {}
 
 
@@ -575,7 +580,6 @@ SECONDARY_RUNNERS = (
 
 def main():
     import sys
-    import traceback
 
     for flag, runner in SECONDARY_RUNNERS:
         if f"--{flag}" in sys.argv:

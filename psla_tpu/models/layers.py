@@ -119,13 +119,26 @@ class ReferenceBatchNorm(nn.BatchNorm):
                 force_float32_reductions=self.force_float32_reductions,
             )
             if not self.is_initializing():
-                # static under jit: the logical (global) element count per
-                # channel — sharded steps compute global-batch stats, so
-                # the matching correction uses the global n
+                # the element count per channel behind `var`. With GSPMD
+                # sharding x.shape is already the logical GLOBAL shape, so
+                # the static product is the right n; under a named axis
+                # (pmap/shard_map) _compute_stats psums the moments across
+                # the axis, so the correction must scale n by the axis
+                # size too.
                 n = 1
                 for ax in reduction_axes:
                     n *= x.shape[ax]
-                bessel = n / (n - 1) if n > 1 else 1.0
+                if self.axis_name is not None:
+                    n_total = n * jax.lax.psum(
+                        jnp.ones((), stats_dtype),
+                        self.axis_name,
+                        axis_index_groups=self.axis_index_groups,
+                    )
+                    bessel = jnp.where(
+                        n_total > 1, n_total / (n_total - 1), 1.0
+                    )
+                else:
+                    bessel = n / (n - 1) if n > 1 else 1.0
                 ra_mean.value = (
                     self.momentum * ra_mean.value
                     + (1 - self.momentum) * mean

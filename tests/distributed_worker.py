@@ -266,6 +266,23 @@ def run_trainer_plain(outdir):
 
     train_loop.Trainer.train = train_capture
 
+    # PSLA_TEST_SIGKILL_EPOCH=N: die by REAL SIGKILL on entering epoch N's
+    # validate — epoch N-1's artifacts are durable on disk, epoch N is in
+    # flight with nothing written, i.e. the mid-run interruption a pod
+    # resume must survive (no atexit, no finalizers, no clean exit)
+    kill_epoch = int(os.environ.get("PSLA_TEST_SIGKILL_EPOCH", "0"))
+    if kill_epoch:
+        import signal
+
+        orig_validate = train_loop.Trainer.validate
+
+        def validate_kill(self, state, loader, epoch, *a, **k):
+            if epoch >= kill_epoch:
+                os.kill(os.getpid(), signal.SIGKILL)
+            return orig_validate(self, state, loader, epoch, *a, **k)
+
+        train_loop.Trainer.validate = validate_kill
+
     epochs = os.environ["PSLA_TEST_EPOCHS"]
     args = [
         "--data-train", os.environ["PSLA_TEST_DATAFILE"],

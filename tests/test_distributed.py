@@ -60,9 +60,9 @@ def test_allgather_host_identity_single_process():
     np.testing.assert_array_equal(got, np.arange(16.0).reshape(16, 1))
 
 
-def _launch_two_process(tmp_path, mode="plain", extra_env=None):
-    """Launch 2 real processes (2 virtual CPU devices each) through the
-    framework's multi-host path; return their parsed result payloads."""
+def _spawn_two_process(tmp_path, mode="plain", extra_env=None):
+    """Spawn 2 real processes (2 virtual CPU devices each) through the
+    framework's multi-host path; return the live Popen handles."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
@@ -82,7 +82,7 @@ def _launch_two_process(tmp_path, mode="plain", extra_env=None):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    procs = [
+    return [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port),
              str(tmp_path), mode],
@@ -91,6 +91,11 @@ def _launch_two_process(tmp_path, mode="plain", extra_env=None):
         )
         for pid in range(2)
     ]
+
+
+def _launch_two_process(tmp_path, mode="plain", extra_env=None):
+    """Launch 2 real processes to completion; return parsed payloads."""
+    procs = _spawn_two_process(tmp_path, mode, extra_env)
     try:
         outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
     finally:
@@ -205,10 +210,11 @@ def test_two_process_ensemble_trainer_end_to_end(tmp_path):
 def test_two_process_plain_trainer_kill_resume(tmp_path):
     """PLAIN data-parallel cli.run across 2 REAL processes — the pod
     story for the headline SINGLE-model flagship run (SURVEY §5.8 /
-    BASELINE config #5), including kill + resume: a run stopped after
-    epoch 1 and resumed (both multi-process) must reproduce an
-    uninterrupted 2-epoch control exactly — result rows AND final
-    parameters — and both hosts must agree on everything."""
+    BASELINE config #5), including a REAL mid-run kill + resume: both
+    workers die by SIGKILL entering epoch 2 (epoch-1 artifacts durable,
+    epoch 2 in flight, no clean shutdown), and the 2-process resume must
+    reproduce an uninterrupted 2-epoch control exactly — result rows AND
+    final parameters — with both hosts agreeing on everything."""
     from tests.synth import build_corpus
 
     corpus = tmp_path / "corpus"
@@ -237,14 +243,30 @@ def test_two_process_plain_trainer_kill_resume(tmp_path):
     for part in c0["summary"].values():
         assert np.isfinite(part["eval_mAP"])
 
-    # killed-after-epoch-1 leg, then 2-process resume to epoch 2
+    # SIGKILLed-mid-epoch-2 leg: both workers kill -9 themselves on
+    # entering epoch 2's validate — epoch 1 is durable on disk, epoch 2
+    # is in flight with no artifacts, no atexit/finalizers ran
     exp_kr = tmp_path / "exp_killresume"
-    k0, k1 = _launch_two_process(
+    procs = _spawn_two_process(
         tmp_path, "trainer_plain",
         extra_env={**base_env, "PSLA_TEST_EXPDIR": str(exp_kr),
-                   "PSLA_TEST_EPOCHS": "1"},
+                   "PSLA_TEST_EPOCHS": "2",
+                   "PSLA_TEST_SIGKILL_EPOCH": "2"},
     )
-    assert k0 == k1
+    try:
+        for p in procs:
+            p.communicate(timeout=1200)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p in procs:
+        assert p.returncode == -9, p.returncode  # died by SIGKILL
+    # torn-state contract: last finished epoch durable, nothing newer
+    assert (exp_kr / "models" / "epoch_1").is_dir()
+    assert not (exp_kr / "models" / "epoch_2").exists()
+
+    # 2-process resume from the torn state to epoch 2
     r0, r1 = _launch_two_process(
         tmp_path, "trainer_plain",
         extra_env={**base_env, "PSLA_TEST_EXPDIR": str(exp_kr),

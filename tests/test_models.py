@@ -221,3 +221,95 @@ def test_bn_running_var_matches_torch():
         want_out.detach().numpy().transpose(0, 2, 3, 1),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_bn_differs_from_flax_only_in_running_var_bessel():
+    """ReferenceBatchNorm reimplements flax BatchNorm.__call__ against
+    private flax helpers; this pins the intended contract so a flax
+    upgrade that shifts those internals is caught here: outputs and
+    running mean identical to stock nn.BatchNorm, running var = flax's
+    biased accumulation with the n/(n-1) factor on the batch term."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from psla_tpu.models.layers import ReferenceBatchNorm
+
+    x = np.random.RandomState(2).randn(6, 3, 2, 5).astype(np.float32)
+    n = 6 * 3 * 2  # per-channel reduction element count
+
+    def run(cls):
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train):
+                return cls(
+                    use_running_average=not train, momentum=0.7,
+                    epsilon=1e-3,
+                )(x)
+
+        m = M()
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+        out, mut = m.apply(
+            v, jnp.asarray(x), train=True, mutable=["batch_stats"]
+        )
+        (bs,) = mut["batch_stats"].values()
+        return np.asarray(out), bs
+
+    out_ref, bs_ref = run(ReferenceBatchNorm)
+    out_flax, bs_flax = run(nn.BatchNorm)
+
+    np.testing.assert_allclose(out_ref, out_flax, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(bs_ref["mean"]), np.asarray(bs_flax["mean"]), rtol=1e-6
+    )
+    # var update: momentum*1 + (1-momentum)*batch_var*[n/(n-1) only here]
+    batch_var_flax = (np.asarray(bs_flax["var"]) - 0.7) / 0.3
+    want_var = 0.7 + 0.3 * batch_var_flax * n / (n - 1)
+    np.testing.assert_allclose(
+        np.asarray(bs_ref["var"]), want_var, rtol=1e-5, atol=1e-7
+    )
+
+
+def test_bn_axis_name_bessel_uses_global_count():
+    """Under a named axis (pmap) the moments are psum'd across devices, so
+    the unbiased running-var correction must use the GLOBAL element count
+    (n_local x axis size), not the local one — a 2-device pmap over the
+    same global batch must produce the same running stats as one device."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from psla_tpu.models.layers import ReferenceBatchNorm
+
+    x = np.random.RandomState(1).randn(8, 4, 2, 16).astype(np.float32)
+
+    def make(axis_name):
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train):
+                return ReferenceBatchNorm(
+                    use_running_average=not train, momentum=0.5,
+                    epsilon=1e-3, axis_name=axis_name,
+                )(x)
+
+        return M()
+
+    m1 = make(None)
+    v = m1.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    _, mut1 = m1.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    want = mut1["batch_stats"]["ReferenceBatchNorm_0"]
+
+    mp = make("batch")
+    xs = jnp.asarray(x).reshape(2, 4, 4, 2, 16)
+    vrep = jax.tree.map(lambda a: jnp.stack([a, a]), v)
+    _, mutp = jax.pmap(
+        lambda v, x: mp.apply(v, x, train=True, mutable=["batch_stats"]),
+        axis_name="batch",
+    )(vrep, xs)
+    got = mutp["batch_stats"]["ReferenceBatchNorm_0"]
+    for key in ("mean", "var"):
+        per_dev = np.asarray(got[key])
+        np.testing.assert_allclose(per_dev[0], per_dev[1], rtol=1e-6)
+        np.testing.assert_allclose(
+            per_dev[0], np.asarray(want[key]), rtol=1e-5, atol=1e-6
+        )

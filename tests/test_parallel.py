@@ -359,15 +359,34 @@ def preserve_dryrun_cache():
 
 
 def test_graft_entry_dryrun(preserve_dryrun_cache):
+    import os
+
     import __graft_entry__ as g
 
     prev_cache_dir = jax.config.jax_compilation_cache_dir
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
-    # the dryrun must not leak its persistent-cache config into the
-    # calling process (round-4 bug: the pytest process kept writing every
-    # later test's compiles into the committed cache dir)
+    # The dryrun must not leak its persistent cache into the calling
+    # process (round-4 bug: the pytest process kept writing every later
+    # test's compiles into the committed cache dir). The config-value
+    # check alone is NOT sufficient — jax memoizes the cache object on
+    # first use — so also compile a fresh slow-enough program and assert
+    # it does NOT land in the committed dir.
     assert jax.config.jax_compilation_cache_dir == prev_cache_dir
+    cache = g._dryrun_cache_dir()
+    after_dryrun = set(os.listdir(cache))
+
+    def throwaway(x):
+        for _ in range(60):  # enough compile time to exceed any
+            x = jnp.tanh(x @ x)  # persistent-cache minimum threshold
+        return x
+
+    jax.jit(throwaway)(jnp.ones((37, 37))).block_until_ready()
+    leaked = set(os.listdir(cache)) - after_dryrun
+    assert not leaked, (
+        f"dryrun_multichip left the persistent compilation cache attached "
+        f"to the committed dir; later compiles leaked: {sorted(leaked)}"
+    )
 
 
 def test_graft_entry_dryrun_respawn(preserve_dryrun_cache):
