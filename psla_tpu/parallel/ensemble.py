@@ -46,6 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from psla_tpu.parallel.distributed import allgather_host
 from psla_tpu.train.state import TrainState
 from psla_tpu.train.step import tpu_compiler_options
 
@@ -253,8 +254,6 @@ def ensemble_member(state: TrainState, i: int) -> TrainState:
 
     def fetch(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            from psla_tpu.parallel.distributed import allgather_host
-
             x = allgather_host(x)
         x = np.asarray(x)
         return x[i] if np.ndim(x) > 0 else x

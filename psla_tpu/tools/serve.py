@@ -48,11 +48,20 @@ import time
 
 import numpy as np
 
-__all__ = ["InferenceEngine", "make_server", "main", "MAX_BODY_BYTES"]
+__all__ = ["InferenceEngine", "make_server", "main", "MAX_BODY_BYTES",
+           "ServerShuttingDown"]
 
 # largest accepted /predict body: comfortably holds an hour of PCM16 WAV
 # (or ~20 min of float JSON) while bounding per-request allocation
 MAX_BODY_BYTES = 128 << 20
+
+
+class ServerShuttingDown(RuntimeError):
+    """Raised for requests refused/abandoned because of shutdown.
+
+    A dedicated type so the HTTP layer can map it to 503 without
+    also swallowing device/XLA failures (jaxlib's XlaRuntimeError
+    subclasses RuntimeError), which must surface as 500s."""
 
 
 class _Request:
@@ -146,6 +155,11 @@ class InferenceEngine:
             )
         else:
             self.mesh = None
+            # put the member weights on device ONCE: orbax restores
+            # host numpy trees, and numpy args to a jitted fn are
+            # re-uploaded on EVERY dispatch - tens of MB of ensemble
+            # weights per micro-batch on the hot path otherwise
+            self.members = jax.device_put(self.members)
             self._batch_probs = jax.jit(batch_probs)
         self._jnp = jnp
         # compile once at startup so the first request pays no compile
@@ -188,14 +202,14 @@ class InferenceEngine:
                 axis=0,
             )
         if self._stop.is_set():
-            raise RuntimeError("server shutting down")
+            raise ServerShuttingDown("server shutting down")
         req = _Request(wav)
         self._queue.put(req)
         # poll the stop flag so a shutdown can never strand this thread
         # on a request the batcher already exited without serving
         while not req.event.wait(timeout=1.0):
             if self._stop.is_set() and not req.event.is_set():
-                raise RuntimeError("server shutting down")
+                raise ServerShuttingDown("server shutting down")
         if req.error is not None:
             raise req.error
         return req.probs
@@ -230,7 +244,7 @@ class InferenceEngine:
             except queue.Empty:
                 break
             if req is not None:
-                req.error = RuntimeError("server shutting down")
+                req.error = ServerShuttingDown("server shutting down")
                 req.event.set()
 
     # ----------------------------------------------------------- batcher
@@ -320,7 +334,17 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
             if path != "/predict":
                 self._json(404, {"error": f"unknown path {path}"})
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "malformed Content-Length"})
+                return
+            if n < 0:
+                # rfile.read(-1) would block until client EOF, pinning
+                # this handler thread for as long as a keep-alive
+                # client holds the socket
+                self._json(400, {"error": "negative Content-Length"})
+                return
             if n > MAX_BODY_BYTES:
                 # refuse BEFORE reading: an oversized upload must not buy
                 # an unbounded allocation
@@ -360,7 +384,7 @@ def make_server(engine: InferenceEngine, port: int = 8000, host="127.0.0.1"):
                     "duration_s": round(wav.size / sr, 3),
                     "latency_ms": round((time.monotonic() - t0) * 1e3, 2),
                 })
-            except RuntimeError as e:  # engine shutdown path
+            except ServerShuttingDown as e:
                 self._json(503, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

@@ -273,7 +273,8 @@ class EnsembleTrainer(Trainer):
 
         Returns (ensemble_stats, mean_loss) so every Trainer/protocol
         consumer sees the headline (seed-mean) metrics; per-seed stats are
-        kept on ``self.last_member_stats`` and written to seed_result.csv.
+        computed on rank 0 only (kept on ``self.last_member_stats``,
+        written to seed_result.csv; None on other hosts).
         """
         preds, targets, losses = [], [], []
         batches = prefetch_to_device(
@@ -297,9 +298,14 @@ class EnsembleTrainer(Trainer):
         target = np.concatenate(targets)
         loss = float(np.mean(np.concatenate(losses, axis=1)))
 
-        member_stats = [
-            calculate_stats(output[i], target) for i in range(self.num_seeds)
-        ]
+        # per-seed curve builds are E-fold host CPU and their results are
+        # only written/printed on rank 0 — don't burn every pod host on
+        # them; the seed-MEAN stats (consumed by all hosts) stay global
+        member_stats = (
+            [calculate_stats(output[i], target) for i in range(self.num_seeds)]
+            if is_primary()
+            else None
+        )
         mean_pred = output.mean(axis=0)
         stats = calculate_stats(mean_pred, target)
         self.last_member_stats = member_stats

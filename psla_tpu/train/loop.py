@@ -257,8 +257,6 @@ class Trainer:
         (the ensemble axis across a pod) are allgathered — a COLLECTIVE,
         so every host must reach the caller in the same order."""
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            from psla_tpu.parallel.distributed import allgather_host
-
             return allgather_host(x)
         return np.asarray(x)
 
@@ -705,13 +703,39 @@ class Trainer:
             np.asarray(per_sample)[keep],
         )
 
+    @staticmethod
+    def _ensemble_folded_epoch(path) -> int:
+        """Last epoch folded into the running-ensemble CSV (0 if none).
+
+        Stored as a '# epoch=N' comment header inside the CSV itself
+        (np.loadtxt skips comment lines) so the matrix and its fold state
+        are updated in ONE atomic os.replace. Header-less files (written
+        before this marker existed) report 0, i.e. the old always-fold
+        behavior."""
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            first = f.readline()
+        if first.startswith("#") and "epoch=" in first:
+            return int(first.split("epoch=")[1])
+        return 0
+
     def validate_ensemble(self, epoch: int):
         """Running mean of per-epoch prediction CSVs
-        (traintest.py:278-294), deleting the epoch-1 file."""
+        (traintest.py:278-294), deleting the epoch-1 file.
+
+        Idempotent per epoch: a crash between this fold and the epoch's
+        progress.json write (e.g. during the orbax saves) makes the
+        resumed run REPLAY the epoch's validate; without the fold marker
+        the replay would re-add the epoch's predictions at the wrong
+        weight and silently corrupt every later ensemble metric."""
         pred_dir = os.path.join(self.exp_dir, "predictions")
         target = np.loadtxt(os.path.join(pred_dir, "target.csv"), delimiter=",")
         ens_path = os.path.join(pred_dir, "ensemble_predictions.csv")
-        if epoch == 1:
+        folded = self._ensemble_folded_epoch(ens_path)
+        if folded >= epoch:  # replayed epoch: already folded in
+            ensemble = np.loadtxt(ens_path, delimiter=",")
+        elif epoch == 1:
             ensemble = np.loadtxt(
                 os.path.join(pred_dir, "predictions_1.csv"), delimiter=","
             )
@@ -724,7 +748,10 @@ class Trainer:
             if os.path.exists(prev):
                 os.remove(prev)
             ensemble = ensemble / epoch
-        np.savetxt(ens_path, ensemble, delimiter=",")
+        if folded < epoch:
+            tmp = ens_path + ".tmp"
+            np.savetxt(tmp, ensemble, delimiter=",", header=f"epoch={epoch}")
+            os.replace(tmp, ens_path)
         return calculate_stats(np.atleast_2d(ensemble), np.atleast_2d(target))
 
     # ------------------------------------------------------ weight averaging
@@ -767,8 +794,12 @@ class Trainer:
             batch_stats=avg["batch_stats"],
             opt_state=self.tx.init(avg["params"]),
         )
-        state = jax.device_put(
-            state, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        # per-leaf placement: single-model states replicate; the ensemble
+        # subclass shards seed-stacked leaves over 'ensemble' (a blanket
+        # replicated put would be the transient ExE memory spike
+        # restore_checkpoint's placement hook exists to avoid)
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, self._state_placement(x)), state
         )
         self.save_checkpoint(state, "wa")
         stats, _ = self.validate(state, self.val_loader, "wa")

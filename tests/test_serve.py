@@ -378,3 +378,25 @@ def test_bad_request_is_400_and_server_survives(served):
     assert _get(base + "/healthz")["status"] == "ok"
     stats = _get(base + "/stats")
     assert stats["batches"] >= 1 and stats["mean_batch_occupancy"] >= 1.0
+
+
+def test_malformed_content_length_is_400(served):
+    """Non-numeric Content-Length must yield a JSON 400 (not a dropped
+    connection), and a negative one must be refused BEFORE rfile.read(-1)
+    can pin the handler thread until client EOF."""
+    import http.client
+
+    base, *_ = served
+    hostname, port = base.split("//")[1].split(":")
+    for bad in ("abc", "-5"):
+        conn = http.client.HTTPConnection(hostname, int(port), timeout=60)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Type", "audio/wav")
+        conn.putheader("Content-Length", bad)
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400, (bad, resp.status)
+        resp.read()
+        conn.close()
+    # the server survived both
+    assert _get(base + "/healthz")["status"] == "ok"

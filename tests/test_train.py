@@ -223,3 +223,46 @@ def test_nan_abort_epoch_end_backstop(corpus, tmp_path_factory, capsys):
     assert "training diverged..." in out
     assert int(state.step) == 3  # full epoch ran, abort before validate
     assert not os.path.exists(os.path.join(exp_dir, "stats_1.pickle"))
+
+
+def test_validate_ensemble_replay_is_idempotent(tmp_path):
+    """A crash between an epoch's ensemble fold and its progress.json
+    write makes the resumed run REPLAY that epoch's validate_ensemble;
+    the fold marker inside the CSV must keep the replay from re-adding
+    the epoch's predictions at the wrong weight (which would silently
+    corrupt every later ensemble metric)."""
+    from types import SimpleNamespace
+
+    from psla_tpu.train.loop import Trainer
+
+    pred_dir = tmp_path / "predictions"
+    pred_dir.mkdir()
+    target = np.tile([[1.0, 0.0, 1.0], [0.0, 1.0, 0.0]], (4, 1))
+    np.savetxt(pred_dir / "target.csv", target, delimiter=",")
+    stub = SimpleNamespace(
+        exp_dir=str(tmp_path),
+        _ensemble_folded_epoch=Trainer._ensemble_folded_epoch,
+    )
+    rng = np.random.RandomState(0)
+    p1, p2 = rng.rand(8, 3), rng.rand(8, 3)
+    np.savetxt(pred_dir / "predictions_1.csv", p1, delimiter=",")
+    Trainer.validate_ensemble(stub, 1)
+    np.savetxt(pred_dir / "predictions_2.csv", p2, delimiter=",")
+    Trainer.validate_ensemble(stub, 2)
+    ens_path = pred_dir / "ensemble_predictions.csv"
+    want = np.loadtxt(ens_path, delimiter=",")
+    np.testing.assert_allclose(want, (p1 + p2) / 2, rtol=1e-6)
+
+    # replayed epoch 2 (the resumed run re-writes predictions_2.csv
+    # identically, then calls validate_ensemble(2) again)
+    stats = Trainer.validate_ensemble(stub, 2)
+    got = np.loadtxt(ens_path, delimiter=",")
+    np.testing.assert_array_equal(got, want)  # NOT re-folded
+    assert np.isfinite(np.mean([s["AP"] for s in stats]))
+
+    # epoch 3 after the replay folds normally
+    p3 = rng.rand(8, 3)
+    np.savetxt(pred_dir / "predictions_3.csv", p3, delimiter=",")
+    Trainer.validate_ensemble(stub, 3)
+    got3 = np.loadtxt(ens_path, delimiter=",")
+    np.testing.assert_allclose(got3, (p1 + p2 + p3) / 3, rtol=1e-6)
