@@ -278,6 +278,16 @@ def run_trainer_plain(outdir):
 
         def validate_kill(self, state, loader, epoch, *a, **k):
             if epoch >= kill_epoch:
+                # Barrier BEFORE dying: without it the faster worker's
+                # SIGKILL lands while the slower one is still inside the
+                # epoch's last collective, which then fails with a gloo
+                # peer error (exit 1) instead of the intended -9. The
+                # barrier proves both workers have left every prior
+                # collective; for 2 ranks each side completes it
+                # independently of the peer's subsequent death.
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("pre_sigkill")
                 os.kill(os.getpid(), signal.SIGKILL)
             return orig_validate(self, state, loader, epoch, *a, **k)
 
