@@ -88,16 +88,21 @@ def export_model(model, members, config, names,
 
     if not isinstance(members, (list, tuple)):
         members = [members]
+    # `is not None` (not truthiness): batch=0 must be an error, not a
+    # silent fall-through to a symbolic artifact (ADVICE r4)
+    if batch is not None and int(batch) < 1:
+        raise ValueError(f"batch must be >= 1 (got {batch}); "
+                         "omit it for a symbolic batch dimension")
     fn = build_infer_fn(model, members, config)
     chunk = config.fbank.buffer_length(config.target_length)
-    b = int(batch) if batch else 2
+    b = int(batch) if batch is not None else 2
     args = (
         jnp.zeros((b, chunk), jnp.float32),
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.int32),
     )
     specs = (
-        args if batch
+        args if batch is not None
         else jexport.symbolic_args_specs(args, ("b, _", "b", "b"))
     )
     exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(*specs)
@@ -105,7 +110,7 @@ def export_model(model, members, config, names,
     meta = {
         "format_version": FORMAT_VERSION,
         "platforms": list(platforms),
-        "batch": int(batch) if batch else "symbolic",
+        "batch": int(batch) if batch is not None else "symbolic",
         "n_class": len(names),
         "names": {str(int(k)): v for k, v in names.items()},
         "n_members": len(members),
@@ -247,10 +252,14 @@ def build_parser():
     p.add_argument("--target_length", type=int, default=1056)
     p.add_argument("--dataset_mean", type=float, default=-4.6476)
     p.add_argument("--dataset_std", type=float, default=4.5699)
+    p.add_argument("--skip_norm", action="store_true",
+                   help="bake in NO normalization (for models trained "
+                        "with --skip_norm; otherwise the artifact would "
+                        "silently apply the default mean/std)")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--batch", type=int, default=None,
                    help="pin a static batch size (default: symbolic — "
-                        "any batch at run time)")
+                        "any batch at run time; must be >= 1)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
     p.add_argument("--dtype", default="bfloat16",
@@ -289,6 +298,7 @@ def main(argv=None) -> int:
         target_length=args.target_length,
         norm_mean=args.dataset_mean,
         norm_std=args.dataset_std,
+        skip_norm=args.skip_norm,
     )
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
     blob, meta = export_model(

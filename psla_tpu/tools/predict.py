@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_length", type=int, default=1056)
     p.add_argument("--dataset_mean", type=float, default=-4.6476)
     p.add_argument("--dataset_std", type=float, default=4.5699)
+    p.add_argument("--skip_norm", action="store_true",
+                   help="predict with NO normalization (for models "
+                        "trained with --skip_norm)")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--top_k", type=int, default=10)
     p.add_argument("--chunk_batch", type=int, default=8)
@@ -80,6 +83,7 @@ def main(argv=None):
         target_length=args.target_length,
         norm_mean=args.dataset_mean,
         norm_std=args.dataset_std,
+        skip_norm=args.skip_norm,
     )
 
     for path in args.wav:

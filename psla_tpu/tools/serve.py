@@ -409,6 +409,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_length", type=int, default=1056)
     p.add_argument("--dataset_mean", type=float, default=-4.6476)
     p.add_argument("--dataset_std", type=float, default=4.5699)
+    p.add_argument("--skip_norm", action="store_true",
+                   help="serve with NO normalization (for models trained "
+                        "with --skip_norm)")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
@@ -453,6 +456,7 @@ def engine_from_args(args) -> InferenceEngine:
         target_length=args.target_length,
         norm_mean=args.dataset_mean,
         norm_std=args.dataset_std,
+        skip_norm=args.skip_norm,
     )
     return InferenceEngine(
         model, variables, config, names,

@@ -192,6 +192,117 @@ def test_fixed_batch_artifact_pads_in_predict(tmp_path):
     np.testing.assert_allclose(got, sym.predict(wav), rtol=0, atol=1e-6)
 
 
+def test_batch_zero_rejected():
+    # ADVICE r4: batch=0 used to fall through falsy checks and silently
+    # produce a symbolic artifact; it must be a loud error
+    config = _config()
+    model, members = _model_and_members()
+    with pytest.raises(ValueError, match="batch must be >= 1"):
+        exp_mod.export_model(
+            model, members, config,
+            {i: str(i) for i in range(N_CLASS)}, batch=0,
+        )
+
+
+def test_skip_norm_threaded_and_recorded():
+    # ADVICE r4: a skip_norm-trained model must be exportable without the
+    # default mean/std silently baked in — meta records it AND the
+    # numerics actually change
+    model, members = _model_and_members()
+    # an UNTRAINED model in eval mode saturates to ~0.5 for any input (BN
+    # running stats at init collapse the variance — known non-bug), which
+    # would make the norm/skip_norm outputs trivially equal; perturb the
+    # member's running stats to a non-degenerate operating point
+    rng = np.random.default_rng(0)
+    members = [jax.tree.map(
+        # clipped noise keeps BN running vars (init 1.0) positive
+        lambda x: x + 0.25 * np.clip(
+            rng.standard_normal(x.shape), -2, 2
+        ).astype(x.dtype),
+        members[0],
+    )]
+    cfg = _config()
+    cfg_skip = dataclasses.replace(cfg, skip_norm=True)
+    names = {i: str(i) for i in range(N_CLASS)}
+    blob_n, meta_n = exp_mod.export_model(model, members, cfg, names)
+    blob_s, meta_s = exp_mod.export_model(model, members, cfg_skip, names)
+    assert meta_n["skip_norm"] is False and meta_s["skip_norm"] is True
+    from jax import export as jexport
+
+    chunk = int(meta_n["chunk_samples"])
+    wav = (np.random.default_rng(6)
+           .standard_normal((2, chunk)).astype(np.float32) * 0.1)
+    mean = wav.mean(axis=1)
+    lengths = np.full((2,), chunk, np.int32)
+    p_n = exp_mod.ExportedModel(
+        jexport.deserialize(bytearray(blob_n)), meta_n
+    ).probs(wav, mean, lengths)
+    p_s = exp_mod.ExportedModel(
+        jexport.deserialize(bytearray(blob_s)), meta_s
+    ).probs(wav, mean, lengths)
+    assert not np.allclose(p_n, p_s)
+    want = _reference_probs(model, members, cfg_skip, wav, mean, lengths)
+    np.testing.assert_allclose(p_s, want, rtol=0, atol=1e-6)
+
+
+BARE_LOADER = r"""
+import json, os, sys
+import numpy as np
+# Prove the env really has no psla_tpu: the artifact must not need it.
+try:
+    import psla_tpu  # noqa: F401
+except ModuleNotFoundError:
+    pass
+else:
+    sys.exit("psla_tpu importable - bare-env test is not bare")
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jax import export as jexport
+path, wav_npy, out_npy = sys.argv[1:4]
+with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+    m = jexport.deserialize(bytearray(f.read()))
+meta = json.load(open(os.path.join(path, "meta.json")))
+wav = np.load(wav_npy)
+mean = wav.mean(axis=1).astype(np.float32)
+lengths = np.full((wav.shape[0],), int(meta["chunk_samples"]), np.int32)
+np.save(out_npy, np.asarray(m.call(wav, mean, lengths)))
+"""
+
+
+def test_bare_env_subprocess_load(artifact, tmp_path):
+    """The portability claim at tools/export.py:14-16, executed for real:
+    a subprocess whose sys.path has NO psla_tpu (PYTHONPATH scrubbed, cwd
+    outside the repo) deserializes the blob with jax.export alone and
+    reproduces the live pipeline's probabilities (VERDICT r4 #4)."""
+    import subprocess
+    import sys
+
+    out, model, members, config = artifact
+    chunk = config.fbank.buffer_length(TARGET)
+    rng = np.random.default_rng(7)
+    wav = rng.standard_normal((2, chunk)).astype(np.float32) * 0.1
+    np.save(tmp_path / "wav.npy", wav)
+    (tmp_path / "bare_loader.py").write_text(BARE_LOADER)
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bare_loader.py", out,
+         str(tmp_path / "wav.npy"), str(tmp_path / "probs.npy")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    got = np.load(tmp_path / "probs.npy")
+    want = _reference_probs(
+        model, members, config, wav, wav.mean(axis=1),
+        np.full((2,), chunk, np.int32),
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_cli_end_to_end(tmp_path, capsys):
     label_csv = tmp_path / "labels.csv"
     label_csv.write_text(
