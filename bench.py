@@ -20,6 +20,8 @@ certifies the full perf story. Individual flags (--eval, --fbank,
 """
 
 import json
+import os
+import signal
 import time
 import traceback
 
@@ -252,6 +254,10 @@ def run_eval(batch_size: int = 128, steps: int = 40):
     t_long = timed(steps)
     dt = (t_long - t_short) / (steps - short)
     clips = batch_size / dt
+    # roofline for the serving hot path too (VERDICT r4 #6): same
+    # cost-analysis machinery as the train headline, over one fwd program
+    one = jax.jit(fwd, compiler_options=tpu_compiler_options())
+    util = _roofline(one, (state, jax.tree.map(lambda x: x[0], stacked)), dt)
     ref_eval_per_gpu = 3 * BASELINE_CLIPS_PER_SEC_PER_GPU
     return {
         "metric": "eval_clips_per_sec_per_chip",
@@ -260,6 +266,7 @@ def run_eval(batch_size: int = 128, steps: int = 40):
         "B=%d; baseline = est. reference eval 3x its train rate)"
         % batch_size,
         "vs_baseline": round(clips / ref_eval_per_gpu, 1),
+        **util,
     }
 
 
@@ -569,19 +576,60 @@ def run_train_headline(act_compress: str = "none"):
     }
 
 
+# (name, runner, rough worst-case wall-clock estimate in seconds on a COLD
+# persistent cache, tunnel compiles included — used by the budget planner
+# to skip a secondary it cannot afford instead of timing out mid-way)
 SECONDARY_RUNNERS = (
-    ("eval", run_eval),
-    ("fbank", run_fbank),
-    ("ensemble", run_ensemble),
-    ("fsd50k", run_fsd50k),
-    ("loader", run_loader),
+    ("eval", run_eval, 150),
+    ("fbank", run_fbank, 90),
+    ("ensemble", run_ensemble, 240),
+    ("fsd50k", run_fsd50k, 300),
+    ("loader", run_loader, 180),
 )
+
+# Total wall-clock budget. The driver runs `python bench.py` under its own
+# (larger) timeout and captures the LAST complete JSON line; round 4's
+# lesson (BENCH_r04 rc=124, parsed:null — zero numbers captured) is that
+# one slow stage anywhere must never leave stdout empty. Strategy:
+#  1. print the headline line the moment it's measured (always captured);
+#  2. run secondaries only while this budget allows, each under a hard
+#     SIGALRM deadline, recording {"error": "budget"} for the rest;
+#  3. print the composite as the final line; on SIGTERM (the driver's
+#     `timeout` default) print the composite-so-far before dying.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
+
+
+def _enable_bench_cache():
+    """Route bench compiles through a repo-local persistent XLA cache.
+
+    Same pattern as __graft_entry__._enable_dryrun_cache: repeat driver
+    runs then load AOT executables instead of paying the ~20-40s tunnel
+    compiles again (the compiles, not the measurements, are what blew the
+    round-4 budget). Works through the tunneled TPU backend (validated in
+    round 2 for the --compilation-cache training flag)."""
+    import jax
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    d = os.path.join(here, ".cache", "xla_bench")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+class _Deadline(Exception):
+    pass
 
 
 def main():
     import sys
 
-    for flag, runner in SECONDARY_RUNNERS:
+    _enable_bench_cache()
+    t0 = time.monotonic()
+
+    def remaining():
+        return BENCH_BUDGET_S - (time.monotonic() - t0)
+
+    for flag, runner, _est in SECONDARY_RUNNERS:
         if f"--{flag}" in sys.argv:
             print(json.dumps(runner()))
             return
@@ -597,20 +645,55 @@ def main():
         raise SystemExit(f"unknown --act-compress mode {act_compress!r}")
 
     headline = run_train_headline(act_compress=act_compress)
+    # ALWAYS emit the headline immediately: if anything below stalls or the
+    # driver's timeout fires, this line is the captured record.
+    print(json.dumps(headline), flush=True)
     if "--train-only" in sys.argv or act_compress != "none":
-        print(json.dumps(headline))
         return
+
     # composite: certify the whole perf story in one driver-captured line.
-    # A secondary failure must not mask the headline — record it as an
-    # error entry instead of raising.
+    # A secondary failure/stall must not mask the rest — record error
+    # entries instead of raising, and re-print the composite-so-far if the
+    # driver SIGTERMs us mid-way.
     secondary = []
-    for name, runner in SECONDARY_RUNNERS:
+
+    def emit_composite():
+        print(json.dumps({**headline, "secondary": secondary}), flush=True)
+
+    def on_sigterm(signum, frame):
+        secondary.append({"metric": "bench", "error": "sigterm"})
+        emit_composite()
+        os._exit(0)
+
+    def on_alarm(signum, frame):
+        raise _Deadline()
+
+    signal.signal(signal.SIGTERM, on_sigterm)
+    signal.signal(signal.SIGALRM, on_alarm)
+
+    for name, runner, est in SECONDARY_RUNNERS:
+        left = remaining()
+        if left < est:
+            secondary.append(
+                {"metric": name, "error": "budget (%.0fs left < ~%ds est)"
+                 % (left, est)}
+            )
+            continue
+        signal.alarm(int(left))
         try:
             secondary.append(runner())
+        except _Deadline:
+            secondary.append(
+                {"metric": name, "error": "budget (hit %ss wall deadline)"
+                 % int(BENCH_BUDGET_S)}
+            )
         except Exception as e:
             traceback.print_exc()
             secondary.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
-    print(json.dumps({**headline, "secondary": secondary}))
+        finally:
+            signal.alarm(0)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    emit_composite()
 
 
 if __name__ == "__main__":
