@@ -576,15 +576,18 @@ def run_train_headline(act_compress: str = "none"):
     }
 
 
-# (name, runner, rough worst-case wall-clock estimate in seconds on a COLD
-# persistent cache, tunnel compiles included — used by the budget planner
-# to skip a secondary it cannot afford instead of timing out mid-way)
+# (name, runner, rough wall-clock estimate in seconds with a warm
+# persistent cache — used by the budget planner to skip a secondary it
+# cannot afford instead of timing out mid-way). Ordered so the two
+# headline-adjacent chip workloads (eval, fsd50k) land before the
+# lower-information ones; the host-bound loader goes last — it is the
+# most sensitive to host contention and the least likely to regress.
 SECONDARY_RUNNERS = (
-    ("eval", run_eval, 150),
-    ("fbank", run_fbank, 90),
-    ("ensemble", run_ensemble, 240),
-    ("fsd50k", run_fsd50k, 300),
-    ("loader", run_loader, 180),
+    ("eval", run_eval, 120),
+    ("fbank", run_fbank, 60),
+    ("fsd50k", run_fsd50k, 240),
+    ("ensemble", run_ensemble, 200),
+    ("loader", run_loader, 150),
 )
 
 # Total wall-clock budget. The driver runs `python bench.py` under its own
@@ -596,7 +599,7 @@ SECONDARY_RUNNERS = (
 #     SIGALRM deadline, recording {"error": "budget"} for the rest;
 #  3. print the composite as the final line; on SIGTERM (the driver's
 #     `timeout` default) print the composite-so-far before dying.
-BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 
 
 def _enable_bench_cache():
