@@ -587,7 +587,7 @@ SECONDARY_RUNNERS = (
     ("fbank", run_fbank, 60),
     ("fsd50k", run_fsd50k, 240),
     ("ensemble", run_ensemble, 200),
-    ("loader", run_loader, 150),
+    ("loader", run_loader, 110),
 )
 
 # Total wall-clock budget. The driver runs `python bench.py` under its own
